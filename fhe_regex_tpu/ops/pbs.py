@@ -1,0 +1,190 @@
+"""Batched programmable bootstrapping in JAX (exact int32 torus arithmetic).
+
+TPU-native replacement for the per-op PBS buried in tfhe-rs (SURVEY.md N9):
+instead of one bootstrap at a time inside each radix "smart" op, the executor
+batches *all PBS instances of a circuit level* into one launch — parallelism
+across PBS instances (variants x positions x blocks), the main throughput
+lever (SURVEY.md §2.3 "Batch parallelism within PBS").
+
+Everything here operates on ``int32`` arrays whose bits are the uint32 torus
+values; XLA defines integer overflow as two's-complement wraparound, so int32
+add/sub/mul are exact arithmetic mod 2^32.
+
+Shapes:
+  cts      [B, n+1]               batch of LWE ciphertexts [a_0..a_{n-1}, b]
+  bsk      [n, (k+1)*l, k+1, N]   bootstrap key (GGSW per secret bit)
+  ksk      [kN, ks_level, n+1]    keyswitch key
+  luts     [L, N]                 stacked test polynomials
+  lut_idx  [B]                    which LUT each instance applies
+
+The blind rotation here is the straightforward lax.scan/conv formulation —
+correct everywhere (it is also the multi-chip dry-run path on CPU).  The
+speed-of-light TPU kernel lives in ops/pbs_pallas.py and is selected by the
+executor when running on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fhe_regex_tpu.params import Params
+
+I32 = jnp.int32
+U32 = jnp.uint32
+
+
+# ---------------- small exact helpers ----------------
+
+
+def mod_switch(params: Params, cts: jax.Array) -> jax.Array:
+    """[B, n+1] torus -> [B, n+1] values in [0, 2N).  Wraparound in the +half
+    add contributes a multiple of 2N, so it vanishes mod 2N."""
+    N = params.polynomial_size
+    shift = params.torus_bits - (N.bit_length() - 1) - 1
+    u = cts.astype(U32)
+    half = jnp.uint32(1 << (shift - 1))
+    return ((u + half) >> shift).astype(I32) & (2 * N - 1)
+
+
+def decompose(v: jax.Array, base_log: int, level: int, torus_bits: int = 32):
+    """Balanced signed gadget decomposition (jnp port of glwe.decompose_balanced).
+
+    v: int32 torus values.  Returns [level, ...] int32 digits in [-B/2, B/2],
+    digit j has weight q / B^(j+1) (most significant first).
+    """
+    B = 1 << base_log
+    half = B // 2
+    shift = torus_bits - base_log * level
+    u = v.astype(U32)
+    rounded = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
+    digits = []
+    state = rounded
+    for _ in range(level):
+        d = state & (B - 1)
+        d = jnp.where(d >= half, d - B, d)
+        state = (state - d) >> base_log
+        digits.append(d)
+    return jnp.stack(digits[::-1])  # most significant first
+
+
+def negacyclic_rotate_batch(polys: jax.Array, r: jax.Array) -> jax.Array:
+    """X^{r_b} * polys[b] for each batch element.
+
+    polys: [B, C, N] int32; r: [B] int32 in [0, 2N).  Returns [B, C, N].
+    """
+    N = polys.shape[-1]
+    doubled = jnp.concatenate([polys, -polys], axis=-1)          # [B, C, 2N]
+    t = jnp.arange(N, dtype=I32)[None, None, :]
+    idx = (t - r[:, None, None]) & (2 * N - 1)
+    return jnp.take_along_axis(doubled, jnp.broadcast_to(idx, polys.shape[:-1] + (N,)), axis=-1)
+
+
+def _negacyclic_matrix(g: jax.Array) -> jax.Array:
+    """[..., N] poly -> [..., N, N] negacyclic matrix M with (d @ M) = d (*) g.
+
+    M[i, j] = g[j-i] for j >= i, -g[N+j-i] for j < i.
+    """
+    N = g.shape[-1]
+    doubled = jnp.concatenate([g, -g], axis=-1)                  # [..., 2N]
+    i = jnp.arange(N)[:, None]
+    j = jnp.arange(N)[None, :]
+    idx = (j - i) & (2 * N - 1)
+    return doubled[..., idx]
+
+
+# ---------------- blind rotation (jnp reference path) ----------------
+
+
+def blind_rotate(params: Params, bsk: jax.Array, luts: jax.Array,
+                 lut_idx: jax.Array, cts_ms: jax.Array) -> jax.Array:
+    """[B, n+1] mod-switched cts -> [B, k+1, N] accumulators."""
+    k, N, n, l = (params.glwe_dimension, params.polynomial_size,
+                  params.lwe_dimension, params.pbs_level)
+    B = cts_ms.shape[0]
+
+    lut = luts[lut_idx]                                          # [B, N]
+    acc0 = jnp.zeros((B, k + 1, N), dtype=I32)
+    acc0 = acc0.at[:, k, :].set(lut)
+    # X^{-b~} * v
+    acc = negacyclic_rotate_batch(acc0, (2 * N - cts_ms[:, n]) & (2 * N - 1))
+
+    def step(acc, xs):
+        a_i, ggsw_i = xs                                         # [B], [(k+1)l, k+1, N]
+        rotated = negacyclic_rotate_batch(acc, a_i)
+        diff = rotated - acc                                     # [B, k+1, N]
+        # digits: [l, B, k+1, N] -> [B, (k+1)*l, N] row-ordered (comp, level)
+        digits = decompose(diff, params.pbs_base_log, l)
+        d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, (k + 1) * l, N)
+        # external product via negacyclic matrices of the 12 GGSW polys:
+        #   out[b, c, :] = sum_r  d[b, r, :] @ M(ggsw_i[r, c])
+        M = _negacyclic_matrix(ggsw_i)                           # [(k+1)l, k+1, N, N]
+        out = jnp.einsum("brn,rcnm->bcm", d, M,
+                         preferred_element_type=I32)
+        return acc + out, None
+
+    acc, _ = jax.lax.scan(step, acc, (cts_ms[:, :n].T, bsk))
+    return acc
+
+
+def sample_extract(params: Params, accs: jax.Array) -> jax.Array:
+    """[B, k+1, N] -> [B, kN+1] big-LWE ciphertexts (coefficient 0)."""
+    k, N = params.glwe_dimension, params.polynomial_size
+    mask = accs[:, :k, :]                                        # [B, k, N]
+    first = mask[:, :, :1]
+    rest = -mask[:, :, :0:-1]
+    ext = jnp.concatenate([first, rest], axis=-1).reshape(accs.shape[0], k * N)
+    body = accs[:, k, :1]
+    return jnp.concatenate([ext, body], axis=-1)
+
+
+def key_switch(params: Params, ksk: jax.Array, big: jax.Array) -> jax.Array:
+    """[B, kN+1] -> [B, n+1] under the small LWE key."""
+    kN, n = params.glwe_key_dim, params.lwe_dimension
+    digits = decompose(big[:, :kN], params.ks_base_log, params.ks_level)  # [l, B, kN]
+    acc = jnp.zeros((big.shape[0], n + 1), dtype=I32)
+    acc = acc.at[:, n].set(big[:, kN])
+    for j in range(params.ks_level):
+        acc = acc - jnp.matmul(digits[j], ksk[:, j, :], preferred_element_type=I32)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def pbs_batch(params: Params, bsk: jax.Array, ksk: jax.Array,
+              luts: jax.Array, lut_idx: jax.Array, cts: jax.Array) -> jax.Array:
+    """Full batched PBS: [B, n+1] -> [B, n+1] (jnp reference path)."""
+    ms = mod_switch(params, cts)
+    acc = blind_rotate(params, bsk, luts, lut_idx, ms)
+    big = sample_extract(params, acc)
+    return key_switch(params, ksk, big)
+
+
+# ---------------- backend selection ----------------
+
+
+def get_pbs_fn(params: Params, backend: Optional[str] = None):
+    """Return a callable (bsk, ksk, luts, lut_idx, cts) -> cts_out.
+
+    backend: 'jnp' (reference, any platform), 'pallas' (TPU kernel), or None
+    to pick automatically (pallas on TPU, jnp elsewhere).
+    """
+    if backend is None:
+        platform = jax.default_backend()
+        backend = "pallas" if platform == "tpu" else "jnp"
+    if backend == "jnp":
+        return functools.partial(pbs_batch, params)
+    if backend == "pallas":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_pallas
+        return functools.partial(pbs_batch_pallas, params)
+    raise ValueError(f"unknown backend {backend!r}")
+
+
+def server_key_device_arrays(server_key) -> tuple:
+    """Upload server key material as int32 device arrays."""
+    bsk = jnp.asarray(server_key.bsk.view(np.int32))
+    ksk = jnp.asarray(server_key.ksk.view(np.int32))
+    return bsk, ksk

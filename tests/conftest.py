@@ -1,0 +1,34 @@
+"""Test configuration: force CPU JAX with a virtual 8-device mesh.
+
+Multi-chip sharding is validated on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=8``), per SURVEY.md §4; real-TPU
+benchmarking happens in bench.py, not in the test suite.  The axon TPU
+tunnel is disabled (clearing PALLAS_AXON_POOL_IPS prevents sitecustomize
+from dialing it) so every test process starts fast.
+"""
+
+import os
+
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from fhe_regex_tpu.params import TEST_PARAMS, TEST_PARAMS_NOISY  # noqa: E402
+from fhe_regex_tpu.crypto.keys import gen_keys  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def keys():
+    """Deterministic zero-noise test keys (analog of the reference's cached
+    test_data/client_key fixture + trivial-ciphertext strategy, engine.rs:227-254)."""
+    return gen_keys(TEST_PARAMS, seed=42)
+
+
+@pytest.fixture(scope="session")
+def noisy_keys():
+    return gen_keys(TEST_PARAMS_NOISY, seed=43)

@@ -1,0 +1,125 @@
+"""Crypto-layer unit tests against the NumPy golden model (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from fhe_regex_tpu.params import TEST_PARAMS, TEST_PARAMS_NOISY, TPU_MESSAGE_2_CARRY_2, MIN_SIGMA_MARGIN
+from fhe_regex_tpu.crypto import lwe
+from fhe_regex_tpu.crypto.glwe import (
+    decompose_balanced,
+    encrypt_glwe,
+    decrypt_glwe,
+    encrypt_ggsw_bit,
+    external_product,
+    negacyclic_polymul,
+    recompose,
+)
+from fhe_regex_tpu.crypto.csprng import Csprng
+from fhe_regex_tpu.crypto.golden import (
+    blind_rotate,
+    key_switch,
+    make_lut_poly,
+    mod_switch,
+    pbs,
+    sample_extract,
+)
+from fhe_regex_tpu.crypto.keys import gen_keys, load_client_key, save_client_key, server_key_from_client
+
+
+P = TEST_PARAMS
+
+
+def test_decompose_roundtrip():
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 1 << 32, size=4096, dtype=np.uint32)
+    for base_log, level in [(7, 3), (3, 5), (23, 1)]:
+        d = decompose_balanced(v, base_log, level)
+        assert np.abs(d).max() <= (1 << base_log) // 2
+        rec = recompose(d, base_log, level)
+        err = ((rec.astype(np.int64) - v.astype(np.int64) + (1 << 31)) % (1 << 32)) - (1 << 31)
+        assert np.abs(err).max() <= 1 << (32 - base_log * level - 1)
+
+
+def test_negacyclic_polymul_wraps_sign():
+    n = 16
+    a = np.zeros(n, np.uint32)
+    b = np.zeros(n, np.uint32)
+    a[1] = 1
+    b[n - 1] = 3
+    out = negacyclic_polymul(a, b).view(np.int32)
+    assert out[0] == -3  # X * 3X^{n-1} = -3 mod X^n+1
+    assert np.all(out[1:] == 0)
+
+
+def test_lwe_roundtrip_all_blocks():
+    ck, _ = gen_keys(P, seed=1)
+    for m in range(P.plaintext_slots // 2):
+        ct = lwe.encrypt_lwe(P, ck.lwe_key, m, ck.rng)
+        assert lwe.decrypt_lwe(P, ck.lwe_key, ct) == m
+
+
+def test_byte_roundtrip_and_trivial():
+    ck, _ = gen_keys(P, seed=2)
+    for byte in [0, 1, ord("a"), ord("Z"), 127, 255]:
+        ct = lwe.encrypt_byte(P, ck.lwe_key, byte, ck.rng)
+        assert lwe.decrypt_byte(P, ck.lwe_key, ct) == byte
+        triv = lwe.trivial_byte(P, byte)
+        assert lwe.decrypt_byte(P, ck.lwe_key, triv) == byte
+
+
+def test_glwe_roundtrip():
+    ck, _ = gen_keys(P, seed=3)
+    M = (np.arange(P.polynomial_size, dtype=np.uint32) * P.delta).astype(np.uint32)
+    ct = encrypt_glwe(P, ck.glwe_key, M, ck.rng)
+    assert np.array_equal(decrypt_glwe(P, ck.glwe_key, ct), M)
+
+
+@pytest.mark.parametrize("bit", [0, 1])
+def test_external_product_selects(bit, keys):
+    ck, _ = keys
+    ggsw = encrypt_ggsw_bit(P, ck.glwe_key, bit, ck.rng)
+    M = np.zeros(P.polynomial_size, np.uint32)
+    M[0] = 5 * P.delta
+    ct = encrypt_glwe(P, ck.glwe_key, M, ck.rng)
+    out = external_product(P, ggsw, ct)
+    phase = decrypt_glwe(P, ck.glwe_key, out)
+    got = lwe.decode(P, phase[0])
+    assert got == (5 if bit else 0)
+
+
+def test_pbs_applies_lut(keys):
+    ck, sk = keys
+    lut = make_lut_poly(P, lambda x: (3 * x + 1) % 16)
+    for m in [0, 2, 7, 15]:
+        ct = lwe.encrypt_lwe(P, ck.lwe_key, m, ck.rng)
+        out = pbs(P, sk.bsk, sk.ksk, ct, lut)
+        assert lwe.decrypt_lwe(P, ck.lwe_key, out) == (3 * m + 1) % 16
+
+
+def test_pbs_noisy(noisy_keys):
+    ck, sk = noisy_keys
+    Pn = TEST_PARAMS_NOISY
+    lut = make_lut_poly(Pn, lambda x: x)
+    for m in [0, 5, 11, 15]:
+        ct = lwe.encrypt_lwe(Pn, ck.lwe_key, m, ck.rng)
+        out = pbs(Pn, sk.bsk, sk.ksk, ct, lut)
+        assert lwe.decrypt_lwe(Pn, ck.lwe_key, out) == m
+
+
+def test_key_fixture_roundtrip(tmp_path, keys):
+    ck, _ = keys
+    path = tmp_path / "client_key.npz"
+    save_client_key(path, ck)
+    ck2 = load_client_key(path)
+    assert np.array_equal(ck.lwe_key, ck2.lwe_key)
+    assert np.array_equal(ck.glwe_key, ck2.glwe_key)
+    # derived server key still decrypts (reference ServerKey::new flow)
+    sk2 = server_key_from_client(ck2)
+    lut = make_lut_poly(P, lambda x: x)
+    ct = lwe.encrypt_lwe(P, ck2.lwe_key, 9, ck2.rng)
+    assert lwe.decrypt_lwe(P, ck2.lwe_key, pbs(P, sk2.bsk, sk2.ksk, ct, lut)) == 9
+
+
+def test_primary_params_noise_budget():
+    rep = TPU_MESSAGE_2_CARRY_2.noise_budget_report()
+    assert rep["sigma_margin"] >= MIN_SIGMA_MARGIN, rep
