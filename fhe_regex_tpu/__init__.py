@@ -1,0 +1,107 @@
+"""fhe-regex-tpu: TPU-native TFHE gate evaluation + encrypted regex matching.
+
+Public API mirrors the reference's library surface (tutorial.md:12-37 /
+src/regex/mod.rs): ``gen_keys -> encrypt_str -> has_match -> decrypt``.
+The result of ``has_match`` is an encrypted 0/1 only the client key opens.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import numpy as np
+
+from fhe_regex_tpu.params import Params, get_params
+from fhe_regex_tpu.crypto.keys import (
+    ClientKey,
+    ServerKey,
+    gen_keys,
+    load_client_key,
+    save_client_key,
+    server_key_from_client,
+)
+from fhe_regex_tpu.crypto import lwe as _lwe
+from fhe_regex_tpu.regex.engine import compile_match
+from fhe_regex_tpu.regex.executor import CompiledCircuit, Executor, compile_circuit
+from fhe_regex_tpu.ops.pbs import server_key_device_arrays
+
+__all__ = [
+    "Params",
+    "get_params",
+    "ClientKey",
+    "ServerKey",
+    "gen_keys",
+    "server_key_from_client",
+    "save_client_key",
+    "load_client_key",
+    "encrypt_str",
+    "trivial_encrypt_str",
+    "has_match",
+    "decrypt",
+    "compile_match",
+    "compile_circuit",
+    "Executor",
+]
+
+logger = logging.getLogger("fhe_regex_tpu")
+
+
+def encrypt_str(client_key: ClientKey, s: str) -> np.ndarray:
+    """ASCII string -> [len, num_blocks, n+1] uint32 (ciphertext.rs:32-40)."""
+    if not s.isascii():
+        raise ValueError("content contains non-ascii characters")
+    p = client_key.params
+    if not s:
+        return np.zeros((0, p.num_blocks, p.lwe_dimension + 1), np.uint32)
+    return np.stack(
+        [_lwe.encrypt_byte(p, client_key.lwe_key, b, client_key.rng)
+         for b in s.encode("ascii")]
+    )
+
+
+def trivial_encrypt_str(params: Params, s: str) -> np.ndarray:
+    """Noiseless content encoding — the reference's test fast path
+    (create_trivial_radix per byte, engine.rs:282-286)."""
+    if not s.isascii():
+        raise ValueError("content contains non-ascii characters")
+    if not s:
+        return np.zeros((0, params.num_blocks, params.lwe_dimension + 1), np.uint32)
+    return np.stack([_lwe.trivial_byte(params, b) for b in s.encode("ascii")])
+
+
+def _executor_for(server_key: ServerKey, backend: Optional[str]) -> Executor:
+    cache = getattr(server_key, "_executor_cache", None)
+    if cache is None:
+        cache = {}
+        server_key._executor_cache = cache
+    if backend not in cache:
+        bsk, ksk = server_key_device_arrays(server_key)
+        cache[backend] = Executor(server_key.params, bsk, ksk, backend)
+    return cache[backend]
+
+
+def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
+              backend: Optional[str] = None) -> np.ndarray:
+    """Encrypted match: does `pattern` match the encrypted content?
+
+    Mirrors ``engine::has_match`` (engine.rs:8-42): returns a radix ciphertext
+    encrypting 1 (match) or 0 (no match).  ``backend`` selects the PBS kernel
+    ('jnp' reference path / 'pallas' TPU kernel / None = auto).
+    """
+    params = server_key.params
+    builder, root = compile_match(len(ct_content), pattern,
+                                  num_blocks=params.num_blocks)
+    circuit = compile_circuit(params, builder, root)
+    executor = _executor_for(server_key, backend)
+    result = executor.run(circuit, np.ascontiguousarray(ct_content))
+    logger.info(
+        "%d ciphertext operations, %d cache hits (%d bootstraps in %d levels)",
+        circuit.ct_ops, circuit.cache_hits, circuit.pbs_count, len(circuit.levels),
+    )
+    return result
+
+
+def decrypt(client_key: ClientKey, ct_res: np.ndarray) -> int:
+    """Radix decrypt of the match result (mod.rs:17)."""
+    return _lwe.decrypt_byte(client_key.params, client_key.lwe_key, ct_res)

@@ -1,0 +1,291 @@
+"""Hash-consed circuit builder — the AOT replacement for the reference's
+memoizing execution context (src/regex/execution.rs).
+
+Core architectural move (SURVEY.md §7): the reference interleaves DAG
+construction and FHE execution through ``Execution``'s runtime HashMap cache.
+But the op DAG depends only on (pattern, content length) — no ciphertext data
+dependence — so we build the whole deduplicated DAG ahead of time and execute
+it later in batched levels.  This module replicates ``Execution``'s exact
+semantics symbolically:
+
+  - structural ``Executed`` expression identity as the cache key (Q11;
+    execution.rs:8-19, :212-222)
+  - trivial-constant short-circuits in ct_and/ct_or that bypass both the
+    cache and the op counters (Q10; execution.rs:121-134, :154-164) —
+    note the short-circuit returns the *other operand's value* under the
+    *full And/Or expression identity*, which we reproduce
+  - ct_not is XOR with trivial 1 and always runs as an op (Q9;
+    execution.rs:178-195)
+  - the same ``ct_ops`` / ``cache_hits`` counters (execution.rs:56-62), so
+    counts are comparable 1:1 with the reference's logs (engine.rs:36-40)
+
+Lowering: every logical op becomes micro-ops of one uniform shape — a cheap
+affine combine of up to 3 ciphertext slots plus a constant, feeding one PBS
+with a LUT (ops/luts.py).  NOT is affine (1 - x) and costs zero bootstraps
+(the reference spends a full smart_bitxor on it).  eq/gt/le on a byte split
+into per-nibble LUTs + one combine LUT: 3-4 bootstraps instead of tfhe-rs's
+carry-managed radix smart ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from fhe_regex_tpu.ops.luts import (
+    LUT_AND2,
+    LUT_EQ,
+    LUT_GT,
+    LUT_GT_COMBINE,
+    LUT_LE,
+    LUT_LE_COMBINE,
+    LUT_LT,
+    LUT_OR2,
+    LutKey,
+)
+
+# ---------------- Executed expression identity (cache keys) ----------------
+# Tuples: ("const", c) | ("ctpos", at) | (op, a, b) | ("not", a)
+
+Expr = Tuple
+
+
+def expr_const(c: int) -> Expr:
+    return ("const", c)
+
+
+def expr_ctpos(at: int) -> Expr:
+    return ("ctpos", at)
+
+
+def _const_of(e: Expr) -> Optional[int]:
+    return e[1] if e[0] == "const" else None
+
+
+CT_FALSE = 0
+CT_TRUE = 1
+
+
+# ---------------- values ----------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BitVal:
+    """Runtime value of a boolean node: an affine view of a slot or a const.
+
+    value = const + sign * slot   (sign in {0, +1, -1}; slot None iff sign 0)
+    """
+    const: int
+    sign: int
+    slot: Optional[int]
+
+    @staticmethod
+    def constant(c: int) -> "BitVal":
+        return BitVal(const=c, sign=0, slot=None)
+
+    @staticmethod
+    def of_slot(s: int) -> "BitVal":
+        return BitVal(const=0, sign=1, slot=s)
+
+    def negated(self) -> "BitVal":
+        return BitVal(const=1 - self.const, sign=-self.sign, slot=self.slot)
+
+
+@dataclasses.dataclass(frozen=True)
+class Node:
+    expr: Expr
+    val: BitVal
+
+
+# ---------------- micro-ops ----------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PbsOp:
+    """One bootstrap: LUT applied to an affine combine of <=3 slots.
+
+    in_slots/in_coefs are parallel, zero-padded to length 3; const is in
+    plaintext units (added at delta scale to the body).
+    """
+    in_slots: Tuple[int, int, int]
+    in_coefs: Tuple[int, int, int]
+    const: int
+    lut: LutKey
+    out_slot: int
+    level: int
+
+
+class CircuitBuilder:
+    """Symbolic twin of the reference's ``Execution`` (execution.rs:37-222)."""
+
+    def __init__(self, content_len: int, num_blocks: int = 4):
+        self.content_len = content_len
+        self.num_blocks = num_blocks
+        # slot 0 is a reserved zero ciphertext (combine padding target)
+        self.num_content_slots = 1 + content_len * num_blocks
+        self.ops: List[PbsOp] = []
+        self._cache: Dict[Expr, BitVal] = {}
+        self._microcache: Dict[Tuple, Tuple[int, int]] = {}  # key -> (slot, level)
+        self._slot_level: Dict[int, int] = {}
+        self.ct_ops = 0
+        self.cache_hits = 0
+
+    # ----- slot helpers -----
+
+    def content_slot(self, at: int, block: int) -> int:
+        return 1 + at * self.num_blocks + block
+
+    def _level_of_slot(self, s: int) -> int:
+        return self._slot_level.get(s, 0)   # content/zero slots are level 0
+
+    def _emit_pbs(self, ins: List[Tuple[int, int]], const: int, lut: LutKey) -> int:
+        """Hash-consed micro-op emission; returns the output slot."""
+        ins = sorted(ins)
+        key = (tuple(ins), const, lut)
+        hit = self._microcache.get(key)
+        if hit is not None:
+            return hit[0]
+        slots = [s for s, _ in ins]
+        coefs = [c for _, c in ins]
+        while len(slots) < 3:
+            slots.append(0)
+            coefs.append(0)
+        level = 1 + max((self._level_of_slot(s) for s, _ in ins), default=0)
+        out = self.num_content_slots + len(self.ops)
+        self.ops.append(PbsOp(tuple(slots), tuple(coefs), const, lut, out, level))
+        self._slot_level[out] = level
+        self._microcache[key] = (out, level)
+        return out
+
+    def _bit_ins(self, bits: List[Tuple[BitVal, int]]) -> Tuple[List[Tuple[int, int]], int]:
+        """Affine-combine spec for sum_i scale_i * bit_i."""
+        ins: List[Tuple[int, int]] = []
+        const = 0
+        for bv, scale in bits:
+            const += scale * bv.const
+            if bv.sign != 0:
+                ins.append((bv.slot, scale * bv.sign))
+        return ins, const
+
+    # ----- the reference cache protocol -----
+
+    def _with_cache(self, expr: Expr, run) -> Node:
+        hit = self._cache.get(expr)
+        if hit is not None:
+            self.cache_hits += 1
+            return Node(expr, hit)
+        self.ct_ops += 1
+        val = run()
+        self._cache[expr] = val
+        return Node(expr, val)
+
+    # ----- logical ops (execution.rs:64-222 semantics) -----
+
+    def ct_constant(self, c: int) -> Node:
+        return Node(expr_const(c), BitVal.constant(c))
+
+    def ct_true(self) -> Node:
+        return self.ct_constant(CT_TRUE)
+
+    def ct_false(self) -> Node:
+        return self.ct_constant(CT_FALSE)
+
+    def _pair_vals(self, at: int):
+        """Low/high nibble affine views of content[at] (values 0..15)."""
+        lo = [(BitVal.of_slot(self.content_slot(at, 0)), 1),
+              (BitVal.of_slot(self.content_slot(at, 1)), 4)]
+        hi = [(BitVal.of_slot(self.content_slot(at, 2)), 1),
+              (BitVal.of_slot(self.content_slot(at, 3)), 4)]
+        return lo, hi
+
+    def ct_eq(self, at: int, c: int) -> Node:
+        """content[at] == c  (reference ct_eq -> smart_eq, execution.rs:64-79)."""
+        expr = ("eq", expr_ctpos(at), expr_const(c))
+
+        def run():
+            lo, hi = self._pair_vals(at)
+            ins_lo, k_lo = self._bit_ins(lo)
+            ins_hi, k_hi = self._bit_ins(hi)
+            s_lo = self._emit_pbs(ins_lo, k_lo, LUT_EQ(c & 0xF))
+            s_hi = self._emit_pbs(ins_hi, k_hi, LUT_EQ((c >> 4) & 0xF))
+            s = self._emit_pbs([(s_lo, 1), (s_hi, 2)], 0, LUT_AND2)
+            return BitVal.of_slot(s)
+
+        return self._with_cache(expr, run)
+
+    def ct_ge(self, at: int, c: int) -> Node:
+        """Named ct_ge for reference parity but STRICT greater-than (Q1:
+        execution.rs:93 calls smart_gt)."""
+        expr = ("ge", expr_ctpos(at), expr_const(c))
+
+        def run():
+            lo, hi = self._pair_vals(at)
+            ins_lo, k_lo = self._bit_ins(lo)
+            ins_hi, k_hi = self._bit_ins(hi)
+            gt_hi = self._emit_pbs(ins_hi, k_hi, LUT_GT((c >> 4) & 0xF))
+            eq_hi = self._emit_pbs(ins_hi, k_hi, LUT_EQ((c >> 4) & 0xF))
+            gt_lo = self._emit_pbs(ins_lo, k_lo, LUT_GT(c & 0xF))
+            s = self._emit_pbs([(gt_hi, 1), (eq_hi, 2), (gt_lo, 4)], 0,
+                               LUT_GT_COMBINE)
+            return BitVal.of_slot(s)
+
+        return self._with_cache(expr, run)
+
+    def ct_le(self, at: int, c: int) -> Node:
+        """content[at] <= c (execution.rs:98-113)."""
+        expr = ("le", expr_ctpos(at), expr_const(c))
+
+        def run():
+            lo, hi = self._pair_vals(at)
+            ins_lo, k_lo = self._bit_ins(lo)
+            ins_hi, k_hi = self._bit_ins(hi)
+            lt_hi = self._emit_pbs(ins_hi, k_hi, LUT_LT((c >> 4) & 0xF))
+            eq_hi = self._emit_pbs(ins_hi, k_hi, LUT_EQ((c >> 4) & 0xF))
+            le_lo = self._emit_pbs(ins_lo, k_lo, LUT_LE(c & 0xF))
+            s = self._emit_pbs([(lt_hi, 1), (eq_hi, 2), (le_lo, 4)], 0,
+                               LUT_LE_COMBINE)
+            return BitVal.of_slot(s)
+
+        return self._with_cache(expr, run)
+
+    def ct_and(self, a: Node, b: Node) -> Node:
+        expr = ("and", a.expr, b.expr)
+        # Q10 short-circuits: value aliasing under the And identity,
+        # bypassing cache and counters (execution.rs:121-134)
+        ca, cb = _const_of(a.expr), _const_of(b.expr)
+        if ca == CT_TRUE:
+            return Node(expr, b.val)
+        if ca == CT_FALSE:
+            return Node(expr, a.val)
+        if cb == CT_TRUE:
+            return Node(expr, a.val)
+        if cb == CT_FALSE:
+            return Node(expr, b.val)
+
+        def run():
+            ins, k = self._bit_ins([(a.val, 1), (b.val, 2)])
+            return BitVal.of_slot(self._emit_pbs(ins, k, LUT_AND2))
+
+        return self._with_cache(expr, run)
+
+    def ct_or(self, a: Node, b: Node) -> Node:
+        expr = ("or", a.expr, b.expr)
+        ca, cb = _const_of(a.expr), _const_of(b.expr)
+        if ca == CT_TRUE:
+            return Node(expr, a.val)
+        if cb == CT_TRUE:
+            return Node(expr, b.val)
+        if ca == CT_FALSE and cb == CT_FALSE:
+            return Node(expr, a.val)
+
+        def run():
+            ins, k = self._bit_ins([(a.val, 1), (b.val, 2)])
+            return BitVal.of_slot(self._emit_pbs(ins, k, LUT_OR2))
+
+        return self._with_cache(expr, run)
+
+    def ct_not(self, a: Node) -> Node:
+        """Always an op in the reference (smart_bitxor with trivial 1,
+        execution.rs:178-195) — counted, cached, but affine here (0 PBS)."""
+        expr = ("not", a.expr)
+        return self._with_cache(expr, lambda: a.val.negated())

@@ -1,0 +1,145 @@
+"""Variant compiler: AST x content-position -> lazy circuit branches.
+
+Faithful port of the reference's "list monad procedure"
+(src/regex/engine.rs:45-214) with identical branch generation, pruning and
+ordering semantics (SURVEY.md Q6-Q9, Q12):
+
+  - start positions 0..content_len, empty content -> trivial FALSE (Q8)
+  - SOF/EOF and out-of-content pruning happen *before* any FHE op
+    (engine.rs:52-71)
+  - AnyChar consumes a position and yields trivial TRUE (Q6)
+  - unbounded repetition capped by remaining content; at_least > at_most
+    yields no variants; at_least == 0 adds an epsilon variant (Q7)
+  - OR-fold is a left fold in branch order (Q12, engine.rs:22-35)
+
+The closures operate on a symbolic CircuitBuilder rather than a live
+ciphertext context — execution is deferred to the level-scheduled batched
+executor, but construction order (and therefore cache/counter behavior) is
+identical to the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+from fhe_regex_tpu.regex import parser as P
+from fhe_regex_tpu.regex.circuit import CircuitBuilder, Node
+from fhe_regex_tpu.regex.parser import parse
+
+LazyExecution = Callable[[CircuitBuilder], Node]
+Branch = Tuple[LazyExecution, int]
+
+
+def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
+    if isinstance(re, P.SOF):
+        return [(lambda b: b.ct_true(), c_pos)] if c_pos == 0 else []
+    if isinstance(re, P.EOF):
+        return [(lambda b: b.ct_true(), c_pos)] if c_pos == content_len else []
+
+    if c_pos >= content_len:
+        return []
+
+    if isinstance(re, P.Char):
+        c = re.c
+        return [(lambda b, at=c_pos, c=c: b.ct_eq(at, c), c_pos + 1)]
+
+    if isinstance(re, P.AnyChar):
+        return [(lambda b: b.ct_true(), c_pos + 1)]
+
+    if isinstance(re, P.Not):
+        return [
+            (lambda b, br=branch: b.ct_not(br(b)), pos)
+            for branch, pos in build_branches(content_len, re.not_re, c_pos)
+        ]
+
+    if isinstance(re, P.Either):
+        res = build_branches(content_len, re.l_re, c_pos)
+        res.extend(build_branches(content_len, re.r_re, c_pos))
+        return res
+
+    if isinstance(re, P.Between):
+        frm, to = re.frm, re.to
+        def between(b, at=c_pos, frm=frm, to=to):
+            ge = b.ct_ge(at, frm)     # strict > (Q1)
+            le = b.ct_le(at, to)
+            return b.ct_and(ge, le)
+        return [(between, c_pos + 1)]
+
+    if isinstance(re, P.Range):
+        cs = re.cs
+        def range_(b, at=c_pos, cs=cs):
+            res = b.ct_eq(at, cs[0])
+            for c in cs[1:]:
+                res = b.ct_or(res, b.ct_eq(at, c))
+            return res
+        return [(range_, c_pos + 1)]
+
+    if isinstance(re, P.Repeated):
+        at_least = re.at_least if re.at_least is not None else 0
+        at_most = re.at_most if re.at_most is not None else content_len - c_pos
+        if at_least > at_most:
+            return []
+        groups: List[List[Branch]] = [
+            [(lambda b: b.ct_true(), c_pos)] if at_least == 0 else [],
+            build_branches(
+                content_len,
+                P.Seq(tuple([re.repeat_re] * max(1, at_least))),
+                c_pos,
+            ),
+        ]
+        for _ in range(at_least + 1, at_most + 1):
+            nxt: List[Branch] = []
+            for branch_prev, prev_pos in groups[-1]:
+                for branch_x, x_pos in build_branches(content_len, re.repeat_re, prev_pos):
+                    def chained(b, bp=branch_prev, bx=branch_x):
+                        res_prev = bp(b)
+                        res_x = bx(b)
+                        return b.ct_and(res_prev, res_x)
+                    nxt.append((chained, x_pos))
+            groups.append(nxt)
+        return [br for grp in groups for br in grp]
+
+    if isinstance(re, P.Optional_):
+        res = build_branches(content_len, re.opt_re, c_pos)
+        res.append((lambda b: b.ct_true(), c_pos))
+        return res
+
+    if isinstance(re, P.Seq):
+        if not re.re_xs:
+            # the reference indexes re_xs[0] unconditionally and panics on an
+            # empty Seq (Q13, engine.rs:189) — surface it as a clear error
+            raise ValueError("empty sequence in pattern (e.g. bare /^/) is not executable")
+        continuations = build_branches(content_len, re.re_xs[0], c_pos)
+        for re_x in re.re_xs[1:]:
+            nxt: List[Branch] = []
+            for branch_prev, prev_pos in continuations:
+                for branch_x, x_pos in build_branches(content_len, re_x, prev_pos):
+                    def chained(b, bp=branch_prev, bx=branch_x):
+                        res_prev = bp(b)
+                        res_x = bx(b)
+                        return b.ct_and(res_prev, res_x)
+                    nxt.append((chained, x_pos))
+            continuations = nxt
+        return continuations
+
+    raise ValueError(f"unmatched regex variant: {re!r}")
+
+
+def compile_match(content_len: int, pattern: str,
+                  num_blocks: int = 4) -> Tuple[CircuitBuilder, Node]:
+    """Parse + enumerate + OR-fold into one symbolic result bit
+    (mirrors has_match's compile+execute structure, engine.rs:8-42)."""
+    re = parse(pattern)
+    branches: List[LazyExecution] = []
+    for i in range(content_len):
+        branches.extend(b for b, _ in build_branches(content_len, re, i))
+
+    builder = CircuitBuilder(content_len, num_blocks=num_blocks)
+    if len(branches) <= 1:
+        res = branches[0](builder) if branches else builder.ct_false()
+    else:
+        res = branches[0](builder)
+        for branch in branches[1:]:
+            branch_res = branch(builder)
+            res = builder.ct_or(res, branch_res)
+    return builder, res

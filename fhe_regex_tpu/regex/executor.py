@@ -1,0 +1,171 @@
+"""Level-scheduled batched executor.
+
+The reference forces one lazy closure at a time, each op dispatching a full
+CPU bootstrap (engine.rs:22-35 -> execution.rs -> tfhe-rs).  Here the
+hash-consed micro-op DAG (regex/circuit.py) is topologically level-scheduled
+ahead of time: every level is ONE batched PBS launch over all bootstraps
+whose inputs are ready — the SPMD shape TPUs want (SURVEY.md §7).
+
+Each level executes:
+  1. affine gather:  x_i = sum_k coef_ik * slab[slot_ik] + const_i * delta
+     (cheap int32 VPU work)
+  2. batched PBS with per-instance LUT selection
+  3. scatter of outputs into the ciphertext slab
+
+Level batch widths are padded to power-of-two buckets to bound XLA
+recompilations; padded instances write to a trash slot.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fhe_regex_tpu.crypto.golden import make_lut_poly
+from fhe_regex_tpu.ops.luts import LutKey, lut_fn
+from fhe_regex_tpu.ops.pbs import get_pbs_fn
+from fhe_regex_tpu.params import Params
+from fhe_regex_tpu.regex.circuit import BitVal, CircuitBuilder, Node, PbsOp
+
+I32 = jnp.int32
+U32 = np.uint32
+
+
+@dataclasses.dataclass
+class LevelPlan:
+    in_slots: np.ndarray   # [W, 3] int32
+    in_coefs: np.ndarray   # [W, 3] int32
+    consts: np.ndarray     # [W] int32 (plaintext units)
+    lut_idx: np.ndarray    # [W] int32
+    out_idx: np.ndarray    # [W] int32
+
+
+@dataclasses.dataclass
+class CompiledCircuit:
+    params: Params
+    num_slots: int         # content slots + op outputs (+1 trash at the end)
+    levels: List[LevelPlan]
+    luts: np.ndarray       # [L, N] uint32
+    root: Node
+    ct_ops: int
+    cache_hits: int
+
+    @property
+    def pbs_count(self) -> int:
+        return sum(int((lv.lut_idx >= 0).sum()) for lv in self.levels)
+
+
+def _bucket(w: int) -> int:
+    b = 1
+    while b < w:
+        b *= 2
+    return b
+
+
+def compile_circuit(params: Params, builder: CircuitBuilder, root: Node) -> CompiledCircuit:
+    lut_ids: Dict[LutKey, int] = {}
+    for op in builder.ops:
+        if op.lut not in lut_ids:
+            lut_ids[op.lut] = len(lut_ids)
+    luts = (np.stack([make_lut_poly(params, lut_fn(k)) for k in lut_ids])
+            if lut_ids else np.zeros((1, params.polynomial_size), U32))
+
+    by_level: Dict[int, List[PbsOp]] = {}
+    for op in builder.ops:
+        by_level.setdefault(op.level, []).append(op)
+
+    num_slots = builder.num_content_slots + len(builder.ops) + 1
+    trash = num_slots - 1
+    levels = []
+    for lvl in sorted(by_level):
+        ops = by_level[lvl]
+        w = _bucket(len(ops))
+        in_slots = np.zeros((w, 3), np.int32)
+        in_coefs = np.zeros((w, 3), np.int32)
+        consts = np.zeros(w, np.int32)
+        lut_idx = np.full(w, -1, np.int32)
+        out_idx = np.full(w, trash, np.int32)
+        for i, op in enumerate(ops):
+            in_slots[i] = op.in_slots
+            in_coefs[i] = op.in_coefs
+            consts[i] = op.const
+            lut_idx[i] = lut_ids[op.lut]
+            out_idx[i] = op.out_slot
+        levels.append(LevelPlan(in_slots, in_coefs, consts, lut_idx, out_idx))
+
+    return CompiledCircuit(
+        params=params,
+        num_slots=num_slots,
+        levels=levels,
+        luts=luts,
+        root=root,
+        ct_ops=builder.ct_ops,
+        cache_hits=builder.cache_hits,
+    )
+
+
+class Executor:
+    """Runs compiled circuits against one server key's device material."""
+
+    def __init__(self, params: Params, bsk, ksk, backend: Optional[str] = None):
+        self.params = params
+        self.bsk = bsk
+        self.ksk = ksk
+        self.pbs = get_pbs_fn(params, backend)
+
+    def _run_level(self, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
+                   lv_lut_idx, lv_out_idx):
+        delta = self.params.delta
+        gathered = slab[lv_in_slots]                           # [W, 3, n+1]
+        x = jnp.sum(lv_in_coefs[:, :, None] * gathered, axis=1)
+        x = x.at[:, -1].add(lv_consts * jnp.int32(delta))
+        outs = self.pbs(self.bsk, self.ksk, luts,
+                        jnp.maximum(lv_lut_idx, 0), x)
+        return slab.at[lv_out_idx].set(outs)
+
+    @functools.cached_property
+    def _level_jit(self):
+        return jax.jit(self._run_level, donate_argnums=(0,))
+
+    def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray) -> np.ndarray:
+        """content_blocks: [len, num_blocks, n+1] uint32 -> radix result
+        [num_blocks, n+1] uint32."""
+        params = self.params
+        n1 = params.lwe_dimension + 1
+        slab_np = np.zeros((circuit.num_slots, n1), np.int32)
+        if content_blocks.size:
+            flat = content_blocks.reshape(-1, n1).view(np.int32)
+            slab_np[1:1 + flat.shape[0]] = flat
+        slab = jnp.asarray(slab_np)
+        luts = jnp.asarray(circuit.luts.view(np.int32))
+        for lv in circuit.levels:
+            slab = self._level_jit(
+                slab, luts,
+                jnp.asarray(lv.in_slots), jnp.asarray(lv.in_coefs),
+                jnp.asarray(lv.consts), jnp.asarray(lv.lut_idx),
+                jnp.asarray(lv.out_idx),
+            )
+        return self._finalize(circuit, slab)
+
+    def _finalize(self, circuit: CompiledCircuit, slab) -> np.ndarray:
+        """Assemble the radix result ciphertext from the root bit value.
+
+        A compile-time-constant root yields a *trivial* ciphertext, matching
+        Q10 (e.g. /./ returns a noiseless ct in the reference)."""
+        params = self.params
+        val: BitVal = circuit.root.val
+        n1 = params.lwe_dimension + 1
+        out = np.zeros((params.num_blocks, n1), U32)
+        if val.sign == 0:
+            out[0, -1] = U32(val.const * params.delta)
+            return out
+        ct = np.asarray(slab[val.slot]).view(U32).astype(np.int64)
+        block0 = val.sign * ct
+        block0[-1] += val.const * params.delta
+        out[0] = (block0 % (1 << 32)).astype(U32)
+        return out
