@@ -24,7 +24,7 @@ from fhe_regex_tpu.crypto.keys import (
 from fhe_regex_tpu.crypto import lwe as _lwe
 from fhe_regex_tpu.regex.engine import compile_match
 from fhe_regex_tpu.regex.executor import CompiledCircuit, Executor, compile_circuit
-from fhe_regex_tpu.ops.pbs import server_key_device_arrays
+from fhe_regex_tpu.ops.pbs import prepare_server_key, resolve_backend
 
 __all__ = [
     "Params",
@@ -70,30 +70,35 @@ def trivial_encrypt_str(params: Params, s: str) -> np.ndarray:
     return np.stack([_lwe.trivial_byte(params, b) for b in s.encode("ascii")])
 
 
-def _executor_for(server_key: ServerKey, backend: Optional[str]) -> Executor:
+def _executor_for(server_key: ServerKey, backend: Optional[str],
+                  mesh=None) -> Executor:
+    backend = resolve_backend(backend)
     cache = getattr(server_key, "_executor_cache", None)
     if cache is None:
         cache = {}
         server_key._executor_cache = cache
-    if backend not in cache:
-        bsk, ksk = server_key_device_arrays(server_key)
-        cache[backend] = Executor(server_key.params, bsk, ksk, backend)
-    return cache[backend]
+    key = (backend, id(mesh) if mesh is not None else None)
+    if key not in cache:
+        dev_key = prepare_server_key(server_key.params, server_key, backend)
+        cache[key] = Executor(server_key.params, dev_key, mesh=mesh)
+    return cache[key]
 
 
 def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
-              backend: Optional[str] = None) -> np.ndarray:
+              backend: Optional[str] = None, mesh=None) -> np.ndarray:
     """Encrypted match: does `pattern` match the encrypted content?
 
     Mirrors ``engine::has_match`` (engine.rs:8-42): returns a radix ciphertext
     encrypting 1 (match) or 0 (no match).  ``backend`` selects the PBS kernel
-    ('jnp' reference path / 'pallas' TPU kernel / None = auto).
+    ('jnp' reference path / 'pallas' TPU kernel / None = auto); ``mesh``
+    shards each level's bootstrap batch across devices.
     """
     params = server_key.params
     builder, root = compile_match(len(ct_content), pattern,
                                   num_blocks=params.num_blocks)
-    circuit = compile_circuit(params, builder, root)
-    executor = _executor_for(server_key, backend)
+    min_bucket = 8 if mesh is None else max(8, int(mesh.devices.size))
+    circuit = compile_circuit(params, builder, root, min_bucket=min_bucket)
+    executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(
         "%d ciphertext operations, %d cache hits (%d bootstraps in %d levels)",

@@ -166,21 +166,71 @@ def pbs_batch(params: Params, bsk: jax.Array, ksk: jax.Array,
 # ---------------- backend selection ----------------
 
 
-def get_pbs_fn(params: Params, backend: Optional[str] = None):
-    """Return a callable (bsk, ksk, luts, lut_idx, cts) -> cts_out.
+class DeviceServerKey:
+    """Server-key material uploaded in the layout a PBS backend wants.
 
-    backend: 'jnp' (reference, any platform), 'pallas' (TPU kernel), or None
-    to pick automatically (pallas on TPU, jnp elsewhere).
+    backend 'jnp': int32 bsk/ksk, the reference scan/einsum path.
+    backend 'pallas': limb-split int8 bsk windows + bf16 ksk limbs for the
+    MXU kernels (ops/pbs_pallas.py); matmul_dtype selects int8 or bf16 MXU
+    tiles for the blind rotation.
     """
+
+    def __init__(self, params: Params, backend: str, **arrays):
+        self.params = params
+        self.backend = backend
+        for k, v in arrays.items():
+            setattr(self, k, v)
+
+
+def resolve_backend(backend: Optional[str]) -> str:
     if backend is None:
-        platform = jax.default_backend()
-        backend = "pallas" if platform == "tpu" else "jnp"
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return backend
+
+
+def prepare_server_key(params: Params, server_key,
+                       backend: Optional[str] = None,
+                       matmul_dtype=None) -> DeviceServerKey:
+    backend = resolve_backend(backend)
     if backend == "jnp":
-        return functools.partial(pbs_batch, params)
+        return DeviceServerKey(
+            params, backend,
+            bsk=jnp.asarray(server_key.bsk.view(np.int32)),
+            ksk=jnp.asarray(server_key.ksk.view(np.int32)),
+        )
     if backend == "pallas":
-        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_pallas
-        return functools.partial(pbs_batch_pallas, params)
+        from fhe_regex_tpu.ops import pbs_pallas as pp
+        return DeviceServerKey(
+            params, backend,
+            bsk_quad=jnp.asarray(pp.prepare_bsk_pallas(params, server_key.bsk)),
+            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
+            .astype(jnp.bfloat16),
+            matmul_dtype=matmul_dtype or jnp.bfloat16,
+        )
     raise ValueError(f"unknown backend {backend!r}")
+
+
+def make_pbs_fn(dev_key: DeviceServerKey):
+    """Callable (luts, lut_idx, cts) -> cts_out for the prepared key."""
+    params = dev_key.params
+    if dev_key.backend == "jnp":
+        return functools.partial(pbs_batch, params, dev_key.bsk, dev_key.ksk)
+    if dev_key.backend == "pallas":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_pallas
+
+        def fn(luts, lut_idx, cts):
+            return pbs_batch_pallas(params, dev_key.bsk_quad, dev_key.ksk_limbs,
+                                    luts, lut_idx, dev_key.matmul_dtype, cts)
+        return fn
+    raise ValueError(dev_key.backend)
+
+
+# -- legacy helpers (kept for the kernel unit tests) --
+
+
+def get_pbs_fn(params: Params, backend: Optional[str] = None):
+    """(bsk, ksk, luts, lut_idx, cts) -> cts_out on the jnp path."""
+    return functools.partial(pbs_batch, params)
 
 
 def server_key_device_arrays(server_key) -> tuple:

@@ -1,0 +1,54 @@
+"""Device mesh + sharded PBS execution.
+
+The reference is strictly single-threaded at the application layer
+(SURVEY.md §2.3: Rc-based closures, sequential OR-fold) — its only
+parallelism is rayon inside one op.  The TPU-native replacement is SPMD over
+a ``jax.sharding.Mesh``: the PBS **batch axis** (all bootstrap instances of a
+circuit level = variants x positions x blocks) is sharded across chips with
+``shard_map``; server-key material is replicated; XLA compiles the collective
+movement onto ICI.
+
+Multi-host: the same program under ``jax.distributed.initialize`` — the mesh
+just spans more devices; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fhe_regex_tpu.ops.pbs import DeviceServerKey, make_pbs_fn
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (BATCH_AXIS,))
+
+
+def make_sharded_pbs_fn(dev_key: DeviceServerKey, mesh: Mesh):
+    """(luts, lut_idx, cts) -> cts_out with the batch axis sharded over the
+    mesh.  Key material rides in closure (replicated per device by shard_map's
+    closure capture); batch width must be a multiple of mesh size.
+    """
+    pbs = make_pbs_fn(dev_key)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    def sharded(luts, lut_idx, cts):
+        return pbs(luts, lut_idx, cts)
+
+    return sharded

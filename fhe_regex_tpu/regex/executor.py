@@ -28,7 +28,7 @@ import numpy as np
 
 from fhe_regex_tpu.crypto.golden import make_lut_poly
 from fhe_regex_tpu.ops.luts import LutKey, lut_fn
-from fhe_regex_tpu.ops.pbs import get_pbs_fn
+from fhe_regex_tpu.ops.pbs import make_pbs_fn
 from fhe_regex_tpu.params import Params
 from fhe_regex_tpu.regex.circuit import BitVal, CircuitBuilder, Node, PbsOp
 
@@ -60,14 +60,15 @@ class CompiledCircuit:
         return sum(int((lv.lut_idx >= 0).sum()) for lv in self.levels)
 
 
-def _bucket(w: int) -> int:
-    b = 1
+def _bucket(w: int, min_bucket: int = 8) -> int:
+    b = min_bucket
     while b < w:
         b *= 2
     return b
 
 
-def compile_circuit(params: Params, builder: CircuitBuilder, root: Node) -> CompiledCircuit:
+def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
+                    min_bucket: int = 8) -> CompiledCircuit:
     lut_ids: Dict[LutKey, int] = {}
     for op in builder.ops:
         if op.lut not in lut_ids:
@@ -84,7 +85,7 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node) -> Comp
     levels = []
     for lvl in sorted(by_level):
         ops = by_level[lvl]
-        w = _bucket(len(ops))
+        w = _bucket(len(ops), min_bucket)
         in_slots = np.zeros((w, 3), np.int32)
         in_coefs = np.zeros((w, 3), np.int32)
         consts = np.zeros(w, np.int32)
@@ -110,13 +111,21 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node) -> Comp
 
 
 class Executor:
-    """Runs compiled circuits against one server key's device material."""
+    """Runs compiled circuits against one server key's device material.
 
-    def __init__(self, params: Params, bsk, ksk, backend: Optional[str] = None):
+    With a mesh, each level's PBS batch is sharded across devices
+    (variant/data parallelism, SURVEY.md §2.3); circuits must then be
+    compiled with min_bucket >= mesh size.
+    """
+
+    def __init__(self, params: Params, dev_key, mesh=None):
         self.params = params
-        self.bsk = bsk
-        self.ksk = ksk
-        self.pbs = get_pbs_fn(params, backend)
+        self.mesh = mesh
+        if mesh is None:
+            self.pbs = make_pbs_fn(dev_key)
+        else:
+            from fhe_regex_tpu.parallel.mesh import make_sharded_pbs_fn
+            self.pbs = make_sharded_pbs_fn(dev_key, mesh)
 
     def _run_level(self, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
                    lv_lut_idx, lv_out_idx):
@@ -124,8 +133,7 @@ class Executor:
         gathered = slab[lv_in_slots]                           # [W, 3, n+1]
         x = jnp.sum(lv_in_coefs[:, :, None] * gathered, axis=1)
         x = x.at[:, -1].add(lv_consts * jnp.int32(delta))
-        outs = self.pbs(self.bsk, self.ksk, luts,
-                        jnp.maximum(lv_lut_idx, 0), x)
+        outs = self.pbs(luts, jnp.maximum(lv_lut_idx, 0), x)
         return slab.at[lv_out_idx].set(outs)
 
     @functools.cached_property

@@ -1,0 +1,55 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: multi-host strategy tested via xla_force_host_platform_device_count)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fhe_regex_tpu.params import TEST_PARAMS, TEST_PARAMS_NOISY
+from fhe_regex_tpu.crypto import lwe
+from fhe_regex_tpu.crypto.golden import make_lut_poly
+from fhe_regex_tpu.ops.pbs import make_pbs_fn, prepare_server_key
+from fhe_regex_tpu.parallel.mesh import make_mesh, make_sharded_pbs_fn
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_sharded_pbs_matches_unsharded(keys):
+    P = TEST_PARAMS
+    ck, sk = keys
+    dev_key = prepare_server_key(P, sk, "jnp")
+    mesh = make_mesh(8)
+    B = 16
+    cts = np.stack([lwe.encrypt_lwe(P, ck.lwe_key, i % 16, ck.rng) for i in range(B)])
+    luts = jnp.asarray(make_lut_poly(P, lambda x: (x + 5) % 16)[None].view(np.int32))
+    idx = jnp.zeros(B, jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    ref = make_pbs_fn(dev_key)(luts, idx, ctsj)
+    shd = make_sharded_pbs_fn(dev_key, mesh)(luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(shd))
+
+
+def test_has_match_on_mesh(keys):
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    P = TEST_PARAMS
+    ck, sk = keys
+    mesh = make_mesh(8)
+    for content, pattern, exp in [("cdaabc", "/a*bc/", 1), ("abcd", "/^ab|cd$/", 0),
+                                  ("Ab", "/ab/i", 1)]:
+        ct = trivial_encrypt_str(P, content)
+        res = has_match(sk, ct, pattern, mesh=mesh)
+        assert decrypt(ck, res) == exp, (content, pattern)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    jax.jit(fn).lower(*args)  # abstract lowering only on CPU (pallas interpret)

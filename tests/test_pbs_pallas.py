@@ -1,0 +1,43 @@
+"""Pallas blind-rotation kernel vs the jnp reference path (interpret mode on
+CPU; the same kernel compiles to Mosaic on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fhe_regex_tpu.params import TEST_PARAMS, TEST_PARAMS_NOISY
+from fhe_regex_tpu.crypto import lwe
+from fhe_regex_tpu.crypto.golden import make_lut_poly
+from fhe_regex_tpu.ops.pbs import make_pbs_fn, prepare_server_key
+from fhe_regex_tpu.ops.pbs_pallas import _limbs_int8
+
+
+def test_limb_decomposition_exact_mod_2_32():
+    rng = np.random.default_rng(0)
+    x = rng.integers(-2**31, 2**31, size=10000, dtype=np.int64).astype(np.int32)
+    limbs = _limbs_int8(x).astype(np.int64)
+    recon = sum(limbs[..., l] << (8 * l) for l in range(4))
+    assert np.array_equal((recon & 0xFFFFFFFF).astype(np.uint32), x.view(np.uint32))
+
+
+def _compare(params, keys, msgs, f):
+    ck, sk = keys
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng) for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    ref = make_pbs_fn(prepare_server_key(params, sk, "jnp"))(luts, idx, ctsj)
+    pal = make_pbs_fn(prepare_server_key(params, sk, "pallas"))(luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(pal))
+    o = np.asarray(pal).view(np.uint32)
+    got = [lwe.decrypt_lwe(params, ck.lwe_key, o[i]) for i in range(len(msgs))]
+    assert got == [f(m) % 16 for m in msgs]
+
+
+def test_pallas_pbs_bitexact_zero_noise(keys):
+    _compare(TEST_PARAMS, keys, [0, 1, 5, 7, 12, 15, 3, 9],
+             lambda x: (2 * x + 3) % 16)
+
+
+def test_pallas_pbs_noisy(noisy_keys):
+    _compare(TEST_PARAMS_NOISY, noisy_keys, [0, 4, 9, 15, 2, 6, 11, 13],
+             lambda x: (x * 5 + 1) % 16)
