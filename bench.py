@@ -81,13 +81,13 @@ def main():
 
     t0 = time.time()
     out = pbs(luts, lut_idx, ctsj)
-    out.block_until_ready()
+    np.asarray(out)  # host transfer: axon block_until_ready can return early
     print(f"# compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
     for _ in range(iters):
         out = pbs(luts, lut_idx, ctsj)
-    out.block_until_ready()
+    np.asarray(out)
     dt = time.time() - t0
     pbs_per_sec = iters * B / dt
 

@@ -1,0 +1,66 @@
+"""Pattern programs — ahead-of-time-compiled, reusable match circuits.
+
+The framework's "model" artifact is a compiled pattern: since the op DAG
+depends only on (pattern, content length) (SURVEY.md §3.2), a pattern can be
+compiled once and served against any number of encrypted contents of the
+same length — the serving-oriented counterpart of the reference's per-call
+interpreter.  ``CompiledPattern`` caches circuits per content length.
+
+``DRIVER_CONFIGS`` enumerates the five benchmark configurations from
+BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from fhe_regex_tpu.params import Params, get_params
+from fhe_regex_tpu.regex.engine import compile_match
+from fhe_regex_tpu.regex.executor import CompiledCircuit, compile_circuit
+from fhe_regex_tpu.regex.parser import parse
+
+
+class CompiledPattern:
+    """AOT-compiled regex match program, cached per content length."""
+
+    def __init__(self, pattern: str, params: Optional[Params] = None,
+                 min_bucket: int = 8):
+        self.pattern = pattern
+        self.params = params or get_params()
+        self.min_bucket = min_bucket
+        parse(pattern)  # early validation (mirrors main.rs:17-20)
+        self._circuits: Dict[int, CompiledCircuit] = {}
+
+    def circuit(self, content_len: int) -> CompiledCircuit:
+        if content_len not in self._circuits:
+            builder, root = compile_match(content_len, self.pattern,
+                                          num_blocks=self.params.num_blocks)
+            self._circuits[content_len] = compile_circuit(
+                self.params, builder, root, min_bucket=self.min_bucket)
+        return self._circuits[content_len]
+
+    def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
+        """Run against encrypted content with a prepared Executor."""
+        return executor.run(self.circuit(len(ct_content)),
+                            np.ascontiguousarray(ct_content))
+
+    def stats(self, content_len: int) -> dict:
+        c = self.circuit(content_len)
+        return {
+            "ct_ops": c.ct_ops,
+            "cache_hits": c.cache_hits,
+            "bootstraps": c.pbs_count,
+            "levels": len(c.levels),
+        }
+
+
+# The 5 driver benchmark configurations (BASELINE.json "configs")
+DRIVER_CONFIGS = [
+    {"name": "exact_literal", "pattern": "/^abc$/", "content_len": 3},
+    {"name": "contains_anchors", "pattern": "/abc/", "content_len": 16},
+    {"name": "case_insensitive_classes", "pattern": "/^[a-d][^xyz]$/i", "content_len": 2},
+    {"name": "quantifiers", "pattern": "/^ab{2,4}c+d*$/", "content_len": 32},
+    {"name": "alternation_combo", "pattern": "/^(ab|cd)[a-z]{3,}e?$/i", "content_len": 64},
+]

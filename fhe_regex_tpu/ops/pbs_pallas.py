@@ -91,111 +91,114 @@ def prepare_ksk_limbs(params: Params, ksk: np.ndarray) -> np.ndarray:
 # ---------------- the external-product kernel ----------------
 
 
-def _ext_product_kernel(digits_ref, w0, w1, w2, w3, acc_prev_ref, out_ref,
-                        acc_sc, *, matmul_dtype):
-    """grid = (M_tiles, K_tiles); K innermost.
+def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
+                        *, tiles: int, width: int, matmul_dtype):
+    """grid = (c, r); r innermost; everything trace-time static.
 
-    All dynamic selection happens in BlockSpec index_maps (the axon Mosaic
-    compiler rejects traced in-kernel ref indices): w0..w3 are (8, 256)
-    replica blocks of the per-(poly, limb, offset) window bank; the kernel
-    body itself is fully static.
+    Per cell the kernel builds, for each limb, ONE "rolled bank"
+    X[t', y] = doubled_{r,c,l}[y - t'] via 7 log2 rolls of the full poly
+    window, from which EVERY negacyclic tile is a static slice:
+    M(g)[t0+t', m0+m'] = X[t', 128*a + 128 + m'], a = (mu-tau-1) mod 2N/128.
+    The build cost (4 x 14 VPU ops on [128, W]) is amortized over all
+    tiles^2 tile uses; tau/mu loops are Python-static so no traced ref
+    indices exist (the axon Mosaic compiler rejects those).
 
-    digits_ref  [B, TILE] int32 digit block (flattened (poly r, window t0))
-    w0..w3      [8, 256] int32 — limb l window, rows identical
-    acc_prev_ref/out_ref [B, TILE] int32 (flattened (poly c, m0))
-    acc_sc      [B, TILE] int32 scratch, accumulates over the K grid dim
+    digits_ref   [B, N] int32 — digits of decomposition row r
+    quad_ref     [8, W] int32 — limb rows 0..3 of poly (r, c) (4..7 padding)
+    acc_prev_ref/out_ref [B, N] int32 — accumulator poly c
+    acc_sc       [B, N] int32 scratch, accumulates over the r grid dim
     """
-    k = pl.program_id(1)
-    n_k = pl.num_programs(1)
+    r = pl.program_id(1)
+    n_r = pl.num_programs(1)
 
-    @pl.when(k == 0)
+    @pl.when(r == 0)
     def _():
         acc_sc[:, :] = jnp.zeros_like(acc_sc)
 
-    d_blk = digits_ref[:, :].astype(matmul_dtype)              # [B, TILE]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, WIN), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+    int8_path = matmul_dtype == jnp.int8
+
+    d_cast = [digits_ref[:, t * TILE:(t + 1) * TILE].astype(matmul_dtype)
+              for t in range(tiles)]
 
     total = acc_sc[:, :]
-    for l, w_ref in enumerate((w0, w1, w2, w3)):
-        x = jnp.broadcast_to(w_ref[0:1, :], (TILE, WIN))
-        for s in range(7):                                     # log2(TILE) rolls
+    for l in range(4):
+        x = jnp.broadcast_to(quad_ref[l:l + 1, :], (TILE, width))
+        for s in range(7):                                     # log2(TILE)
             rolled = pltpu.roll(x, 1 << s, axis=1)
             x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
-        # tile[t', m'] = base[TILE + m' - t'] = M(g)[t0 + t', m0 + m']
-        tile = x[:, TILE:WIN].astype(matmul_dtype)             # [TILE, TILE]
-        if matmul_dtype == jnp.int8:
-            part = jax.lax.dot(d_blk, tile, preferred_element_type=I32)
-        else:
-            part = jax.lax.dot(d_blk, tile,
-                               preferred_element_type=jnp.float32).astype(I32)
-        total = total + (part << (8 * l))
+        acc_l = None
+        for tau in range(tiles):
+            # consecutive mu hit adjacent bank columns: the 16 tiles of this
+            # tau collapse into (at most) two contiguous slices
+            a_vals = [(mu - tau - 1) % (2 * tiles) for mu in range(tiles)]
+            runs = [[a_vals[0], a_vals[0]]]
+            for a in a_vals[1:]:
+                if a == runs[-1][1] + 1:
+                    runs[-1][1] = a
+                else:
+                    runs.append([a, a])
+            parts = [x[:, TILE * lo + TILE: TILE * hi + 2 * TILE]
+                     for lo, hi in runs]
+            T = (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=1)).astype(matmul_dtype)
+            if int8_path:
+                part = jax.lax.dot(d_cast[tau], T, preferred_element_type=I32)
+            else:
+                part = jax.lax.dot(d_cast[tau], T,
+                                   preferred_element_type=jnp.float32)
+            acc_l = part if acc_l is None else acc_l + part
+        total = total + (acc_l.astype(I32) << (8 * l))
     acc_sc[:, :] = total
 
-    @pl.when(k == n_k - 1)
+    @pl.when(r == n_r - 1)
     def _():
         out_ref[:, :] = acc_prev_ref[:, :] + acc_sc[:, :]
 
 
-def _build_window_bank(params: Params, quad_i):
-    """quad_i [(k+1)l, k+1, 4, 2N+WIN] int -> [R*8, 256] int32 bank.
-
-    Row ((r*(k+1) + c)*4 + l)*n_blocks + a (x8 replicas) holds
-    doubled_{r,c,limb l}[128a : 128a + 256]; the kernel's roll-build then
-    reads M(g)[t0+t', m0+m'] = base[TILE + m' - t'] for
-    a = (mu - tau - 1) mod n_blocks.
-    """
-    N = params.polynomial_size
-    n_blocks = 2 * N // TILE
-    idx = (TILE * jnp.arange(n_blocks))[:, None] + jnp.arange(WIN)[None, :]
-    w = quad_i.astype(I32)[..., idx]            # [rows, k+1, 4, n_blocks, 256]
-    bank = w.reshape(-1, WIN)
-    return jnp.repeat(bank, 8, axis=0)
+def _group_quad(params: Params, quad_i):
+    """quad_i [(k+1)l, k+1, 4, W] -> [(k+1)l*(k+1)*8, W] int32: one 8-row
+    group per (r, c) poly, limbs in rows 0-3, zero padding rows 4-7."""
+    rows, k1, _, W = quad_i.shape
+    g = quad_i.astype(I32).reshape(rows * k1, 4, W)
+    g = jnp.pad(g, ((0, 0), (0, 4), (0, 0)))
+    return g.reshape(rows * k1 * 8, W)
 
 
-def external_product_step(params: Params, digits, bank, acc, matmul_dtype):
+def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
     """acc + GGSW_i (x) diff  for the whole batch.
 
-    digits [B, (k+1)l, N] int, bank [R*8, 256] int32 (from
-    _build_window_bank), acc [B, k+1, N] int32 -> [B, k+1, N] int32.
+    digits [B, (k+1)l, N] int, quad_grp [(k+1)l*(k+1)*8, W] int32 (from
+    _group_quad), acc [B, k+1, N] int32 -> [B, k+1, N] int32.
     """
     k1 = params.glwe_dimension + 1
     rows = params.pbs_level * k1
     N = params.polynomial_size
     tiles = N // TILE
-    n_blocks = 2 * N // TILE
+    W = quad_grp.shape[-1]
     B = acc.shape[0]
-
-    def win_map(l):
-        def f(m, k):
-            r = k // tiles
-            tau = k % tiles
-            c = m // tiles
-            mu = m % tiles
-            a = (mu - tau - 1) % n_blocks
-            return (((r * k1 + c) * 4 + l) * n_blocks + a, 0)
-        return f
 
     digits2 = digits.astype(I32).reshape(B, rows * N)
     acc2 = acc.reshape(B, k1 * N)
-    grid = (k1 * tiles, rows * tiles)
-    win_spec = [pl.BlockSpec((8, WIN), win_map(l), memory_space=pltpu.VMEM)
-                for l in range(4)]
+    grid = (k1, rows)
     out = pl.pallas_call(
-        functools.partial(_ext_product_kernel, matmul_dtype=matmul_dtype),
+        functools.partial(_ext_product_kernel, tiles=tiles, width=W,
+                          matmul_dtype=matmul_dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, TILE), lambda m, k: (0, k),
+            pl.BlockSpec((B, N), lambda c, r: (0, r),
                          memory_space=pltpu.VMEM),
-            *win_spec,
-            pl.BlockSpec((B, TILE), lambda m, k: (0, m),
+            pl.BlockSpec((8, W), lambda c, r: (r * k1 + c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N), lambda c, r: (0, c),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, TILE), lambda m, k: (0, m),
+        out_specs=pl.BlockSpec((B, N), lambda c, r: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, TILE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.int32)],
         interpret=(jax.default_backend() != "tpu"),
-    )(digits2, bank, bank, bank, bank, acc2)
+    )(digits2, quad_grp, acc2)
     return out.reshape(B, k1, N)
 
 
@@ -219,8 +222,8 @@ def blind_rotate_pallas(params: Params, bsk_quad, luts, lut_idx, cts_ms,
         diff = rotated - acc
         digits = decompose(diff, params.pbs_base_log, l)        # [l, B, k+1, N]
         d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, (k + 1) * l, N)
-        bank = _build_window_bank(params, quad_i)
-        acc = external_product_step(params, d, bank, acc, matmul_dtype)
+        grp = _group_quad(params, quad_i)
+        acc = external_product_step(params, d, grp, acc, matmul_dtype)
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc0, (cts_ms[:, :n].T, bsk_quad))
