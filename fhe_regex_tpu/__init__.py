@@ -85,17 +85,20 @@ def _executor_for(server_key: ServerKey, backend: Optional[str],
 
 
 def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
-              backend: Optional[str] = None, mesh=None) -> np.ndarray:
+              backend: Optional[str] = None, mesh=None,
+              fold: str = "reference") -> np.ndarray:
     """Encrypted match: does `pattern` match the encrypted content?
 
     Mirrors ``engine::has_match`` (engine.rs:8-42): returns a radix ciphertext
     encrypting 1 (match) or 0 (no match).  ``backend`` selects the PBS kernel
     ('jnp' reference path / 'pallas' TPU kernel / None = auto); ``mesh``
-    shards each level's bootstrap batch across devices.
+    shards each level's bootstrap batch across devices; ``fold='tree'``
+    replaces the reference's sequential OR fold with a log-depth tree
+    (same decrypted result, far lower latency).
     """
     params = server_key.params
     builder, root = compile_match(len(ct_content), pattern,
-                                  num_blocks=params.num_blocks)
+                                  num_blocks=params.num_blocks, fold=fold)
     min_bucket = 8 if mesh is None else max(8, int(mesh.devices.size))
     circuit = compile_circuit(params, builder, root, min_bucket=min_bucket)
     executor = _executor_for(server_key, backend, mesh)

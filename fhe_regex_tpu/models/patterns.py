@@ -26,17 +26,19 @@ class CompiledPattern:
     """AOT-compiled regex match program, cached per content length."""
 
     def __init__(self, pattern: str, params: Optional[Params] = None,
-                 min_bucket: int = 8):
+                 min_bucket: int = 8, fold: str = "tree"):
         self.pattern = pattern
         self.params = params or get_params()
         self.min_bucket = min_bucket
+        self.fold = fold
         parse(pattern)  # early validation (mirrors main.rs:17-20)
         self._circuits: Dict[int, CompiledCircuit] = {}
 
     def circuit(self, content_len: int) -> CompiledCircuit:
         if content_len not in self._circuits:
             builder, root = compile_match(content_len, self.pattern,
-                                          num_blocks=self.params.num_blocks)
+                                          num_blocks=self.params.num_blocks,
+                                          fold=self.fold)
             self._circuits[content_len] = compile_circuit(
                 self.params, builder, root, min_bucket=self.min_bucket)
         return self._circuits[content_len]

@@ -39,6 +39,8 @@ def LUT_LE(c: int) -> LutKey:
 
 LUT_AND2: LutKey = ("and2",)
 LUT_OR2: LutKey = ("or2",)
+LUT_AND3: LutKey = ("and3",)   # w = x + 2y + 4z -> x & y & z
+LUT_OR3: LutKey = ("or3",)     # w = x + 2y + 4z -> x | y | z
 # gt-combine and le-combine share one table: p | (q & r)
 LUT_GT_COMBINE: LutKey = ("or_and3",)
 LUT_LE_COMBINE: LutKey = ("or_and3",)
@@ -58,6 +60,10 @@ def lut_fn(key: LutKey) -> Callable[[int], int]:
         return lambda w: 1 if w == 3 else 0
     if kind == "or2":
         return lambda w: 1 if w in (1, 2, 3) else 0
+    if kind == "and3":
+        return lambda w: 1 if w == 7 else 0
+    if kind == "or3":
+        return lambda w: 1 if 1 <= w <= 7 else 0
     if kind == "or_and3":
         return lambda z: 1 if (z & 1) or ((z >> 1) & 1 and (z >> 2) & 1) else 0
     raise KeyError(key)

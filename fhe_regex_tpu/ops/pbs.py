@@ -76,12 +76,24 @@ def negacyclic_rotate_batch(polys: jax.Array, r: jax.Array) -> jax.Array:
     """X^{r_b} * polys[b] for each batch element.
 
     polys: [B, C, N] int32; r: [B] int32 in [0, 2N).  Returns [B, C, N].
+
+    Implemented as log2(2N) per-instance-conditional static negacyclic
+    rolls (select on each bit of r) — static shifts map onto fast VPU
+    shuffles, unlike a per-row gather which XLA:TPU lowers to a slow
+    generic gather.
     """
     N = polys.shape[-1]
-    doubled = jnp.concatenate([polys, -polys], axis=-1)          # [B, C, 2N]
-    t = jnp.arange(N, dtype=I32)[None, None, :]
-    idx = (t - r[:, None, None]) & (2 * N - 1)
-    return jnp.take_along_axis(doubled, jnp.broadcast_to(idx, polys.shape[:-1] + (N,)), axis=-1)
+    x = polys
+    for s in range(N.bit_length()):          # shifts 1, 2, ..., N
+        k = 1 << s
+        if k < N:
+            rolled = jnp.roll(x, k, axis=-1)
+            rolled = rolled.at[..., :k].multiply(-1)
+        else:                                # shift by N == negate
+            rolled = -x
+        bit = ((r >> s) & 1).astype(bool)[:, None, None]
+        x = jnp.where(bit, rolled, x)
+    return x
 
 
 def _negacyclic_matrix(g: jax.Array) -> jax.Array:

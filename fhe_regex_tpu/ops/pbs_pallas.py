@@ -92,7 +92,7 @@ def prepare_ksk_limbs(params: Params, ksk: np.ndarray) -> np.ndarray:
 
 
 def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
-                        *, tiles: int, width: int, matmul_dtype):
+                        bank_sc, *, tiles: int, width: int, matmul_dtype):
     """grid = (c, r); r innermost; everything trace-time static.
 
     Per cell the kernel builds, for each limb, ONE "rolled bank"
@@ -127,6 +127,9 @@ def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
         for s in range(7):                                     # log2(TILE)
             rolled = pltpu.roll(x, 1 << s, axis=1)
             x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+        # park the bank in scratch so only one limb's bank is live in VMEM
+        bank_sc[:, :] = x
+        x = bank_sc[:, :]
         acc_l = None
         for tau in range(tiles):
             # consecutive mu hit adjacent bank columns: the 16 tiles of this
@@ -178,7 +181,9 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
     W = quad_grp.shape[-1]
     B = acc.shape[0]
 
-    digits2 = digits.astype(I32).reshape(B, rows * N)
+    # int8 digit blocks (4x less VMEM) when the int8 sublane rule allows
+    d_dtype = jnp.int8 if B % 32 == 0 else I32
+    digits2 = digits.astype(d_dtype).reshape(B, rows * N)
     acc2 = acc.reshape(B, k1 * N)
     grid = (k1, rows)
     out = pl.pallas_call(
@@ -196,7 +201,9 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
         out_specs=pl.BlockSpec((B, N), lambda c, r: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, N), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((B, N), jnp.int32),
+                        pltpu.VMEM((TILE, W), jnp.int32)],
+        input_output_aliases={2: 0},
         interpret=(jax.default_backend() != "tpu"),
     )(digits2, quad_grp, acc2)
     return out.reshape(B, k1, N)

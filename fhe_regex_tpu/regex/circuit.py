@@ -34,6 +34,7 @@ from typing import Dict, List, Optional, Tuple
 
 from fhe_regex_tpu.ops.luts import (
     LUT_AND2,
+    LUT_AND3,
     LUT_EQ,
     LUT_GT,
     LUT_GT_COMBINE,
@@ -41,6 +42,7 @@ from fhe_regex_tpu.ops.luts import (
     LUT_LE_COMBINE,
     LUT_LT,
     LUT_OR2,
+    LUT_OR3,
     LutKey,
 )
 
@@ -92,9 +94,23 @@ class BitVal:
 
 
 @dataclasses.dataclass(frozen=True)
+class Pending:
+    """A not-yet-materialized flat associative gate (optimizing mode).
+
+    Chains of the reference's binary and/or gates (Seq/Repeated AND chains,
+    Range OR chains, the branch OR fold) are collected into flat sets and
+    later materialized as balanced 3-ary LUT trees — same decrypted result
+    (associativity + re-bootstrap per gate), log-depth, and ~2x fewer
+    bootstraps than the reference's binary chains.
+    """
+    kind: str                 # 'and' | 'or'
+    elems: Tuple[BitVal, ...]
+
+
+@dataclasses.dataclass(frozen=True)
 class Node:
     expr: Expr
-    val: BitVal
+    val: object               # BitVal | Pending
 
 
 # ---------------- micro-ops ----------------
@@ -116,16 +132,26 @@ class PbsOp:
 
 
 class CircuitBuilder:
-    """Symbolic twin of the reference's ``Execution`` (execution.rs:37-222)."""
+    """Symbolic twin of the reference's ``Execution`` (execution.rs:37-222).
 
-    def __init__(self, content_len: int, num_blocks: int = 4):
+    mode='strict': byte-identical cache/short-circuit/counter semantics.
+    mode='opt':    flat associative gate collection + balanced 3-ary
+                   materialization (Pending) — same decrypted results,
+                   log-depth circuits; counters then reflect *our* gate
+                   count, not the reference's.
+    """
+
+    def __init__(self, content_len: int, num_blocks: int = 4,
+                 mode: str = "strict"):
         self.content_len = content_len
         self.num_blocks = num_blocks
+        self.mode = mode
         # slot 0 is a reserved zero ciphertext (combine padding target)
         self.num_content_slots = 1 + content_len * num_blocks
         self.ops: List[PbsOp] = []
-        self._cache: Dict[Expr, BitVal] = {}
+        self._cache: Dict[Expr, object] = {}
         self._microcache: Dict[Tuple, Tuple[int, int]] = {}  # key -> (slot, level)
+        self._pendcache: Dict[Tuple, BitVal] = {}
         self._slot_level: Dict[int, int] = {}
         self.ct_ops = 0
         self.cache_hits = 0
@@ -248,8 +274,85 @@ class CircuitBuilder:
 
         return self._with_cache(expr, run)
 
+    # ----- optimizing mode: flat associative gates -----
+
+    def _force(self, v) -> BitVal:
+        return self._materialize(v.kind, v.elems) if isinstance(v, Pending) else v
+
+    def force_node(self, node: Node) -> Node:
+        """Materialize any pending gate so node.val is a concrete BitVal."""
+        return Node(node.expr, self._force(node.val))
+
+    @staticmethod
+    def _bit_key(e: BitVal):
+        return (e.slot if e.slot is not None else -1, e.sign, e.const)
+
+    def _merge_gate(self, kind: str, a_val, b_val):
+        """Flat-merge two operand values into one and/or gate value.
+
+        Applies constant absorption, idempotent dedup and x-op-not(x)
+        annihilation; returns a BitVal (decided) or a Pending set.
+        """
+        elems = []
+        for v in (a_val, b_val):
+            if isinstance(v, Pending):
+                if v.kind == kind:
+                    elems.extend(v.elems)
+                else:
+                    elems.append(self._materialize(v.kind, v.elems))
+            else:
+                elems.append(v)
+        dominant = 0 if kind == "and" else 1   # absorbing constant
+        out, seen = [], set()
+        for e in elems:
+            if e.sign == 0:
+                if e.const == dominant:
+                    return BitVal.constant(dominant)
+                continue                        # neutral element dropped
+            k = (e.slot, e.sign, e.const)
+            if (e.slot, -e.sign, 1 - e.const) in seen:
+                return BitVal.constant(dominant)   # x op not(x)
+            if k in seen:
+                continue
+            seen.add(k)
+            out.append(e)
+        if not out:
+            return BitVal.constant(1 - dominant)
+        if len(out) == 1:
+            return out[0]
+        return Pending(kind, tuple(sorted(out, key=self._bit_key)))
+
+    def _materialize(self, kind: str, elems) -> BitVal:
+        """Balanced 3-ary LUT tree over a flat gate set (shallow-first)."""
+        key = (kind,) + tuple(self._bit_key(e) for e in elems)
+        hit = self._pendcache.get(key)
+        if hit is not None:
+            return hit
+        lut3 = LUT_AND3 if kind == "and" else LUT_OR3
+        lut2 = LUT_AND2 if kind == "and" else LUT_OR2
+        lst = list(elems)
+        while len(lst) > 1:
+            lst.sort(key=lambda e: self._level_of_slot(e.slot) if e.slot else 0)
+            nxt = []
+            for i in range(0, len(lst), 3):
+                chunk = lst[i:i + 3]
+                if len(chunk) == 1:
+                    nxt.append(chunk[0])
+                    continue
+                ins, k = self._bit_ins(list(zip(chunk, (1, 2, 4)[:len(chunk)])))
+                self.ct_ops += 1
+                s = self._emit_pbs(ins, k, lut3 if len(chunk) == 3 else lut2)
+                nxt.append(BitVal.of_slot(s))
+            lst = nxt
+        self._pendcache[key] = lst[0]
+        return lst[0]
+
+    # ----- and / or / not -----
+
     def ct_and(self, a: Node, b: Node) -> Node:
         expr = ("and", a.expr, b.expr)
+        if self.mode == "opt":
+            return Node(expr, self._merge_gate("and", a.val, b.val))
         # Q10 short-circuits: value aliasing under the And identity,
         # bypassing cache and counters (execution.rs:121-134)
         ca, cb = _const_of(a.expr), _const_of(b.expr)
@@ -270,6 +373,8 @@ class CircuitBuilder:
 
     def ct_or(self, a: Node, b: Node) -> Node:
         expr = ("or", a.expr, b.expr)
+        if self.mode == "opt":
+            return Node(expr, self._merge_gate("or", a.val, b.val))
         ca, cb = _const_of(a.expr), _const_of(b.expr)
         if ca == CT_TRUE:
             return Node(expr, a.val)
@@ -288,4 +393,4 @@ class CircuitBuilder:
         """Always an op in the reference (smart_bitxor with trivial 1,
         execution.rs:178-195) — counted, cached, but affine here (0 PBS)."""
         expr = ("not", a.expr)
-        return self._with_cache(expr, lambda: a.val.negated())
+        return self._with_cache(expr, lambda: self._force(a.val).negated())

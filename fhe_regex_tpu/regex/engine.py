@@ -125,16 +125,29 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
     raise ValueError(f"unmatched regex variant: {re!r}")
 
 
-def compile_match(content_len: int, pattern: str,
-                  num_blocks: int = 4) -> Tuple[CircuitBuilder, Node]:
+def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
+                  fold: str = "reference") -> Tuple[CircuitBuilder, Node]:
     """Parse + enumerate + OR-fold into one symbolic result bit
-    (mirrors has_match's compile+execute structure, engine.rs:8-42)."""
+    (mirrors has_match's compile+execute structure, engine.rs:8-42).
+
+    fold='reference': the reference's sequential left fold (engine.rs:22-35)
+    — exact op-order/counter parity, but a depth-O(branches) circuit.
+    fold='tree': log-depth pairwise OR tree — identical decrypted result
+    (OR is associative and every op re-bootstraps) and far fewer levels,
+    the right choice for latency (SURVEY.md §7).
+    """
+    if fold not in ("reference", "tree"):
+        raise ValueError(f"unknown fold mode {fold!r}")
     re = parse(pattern)
     branches: List[LazyExecution] = []
     for i in range(content_len):
         branches.extend(b for b, _ in build_branches(content_len, re, i))
 
-    builder = CircuitBuilder(content_len, num_blocks=num_blocks)
+    # 'tree' uses the optimizing builder: associative and/or chains are
+    # collected flat and materialized as balanced 3-ary LUT trees —
+    # log-depth circuits, ~2x fewer bootstraps, identical decrypted bits.
+    builder = CircuitBuilder(content_len, num_blocks=num_blocks,
+                             mode="opt" if fold == "tree" else "strict")
     if len(branches) <= 1:
         res = branches[0](builder) if branches else builder.ct_false()
     else:
@@ -142,4 +155,4 @@ def compile_match(content_len: int, pattern: str,
         for branch in branches[1:]:
             branch_res = branch(builder)
             res = builder.ct_or(res, branch_res)
-    return builder, res
+    return builder, builder.force_node(res)

@@ -84,6 +84,29 @@ def test_quirk_vectors(content, pattern, exp, keys):
     assert decrypt(ck, has_match(sk, ct, pattern)) == exp
 
 
+@pytest.mark.parametrize("content,pattern,exp",
+                         REFERENCE_VECTORS + QUIRK_VECTORS,
+                         ids=[f"tree:{c}~{p}" for c, p, _ in
+                              REFERENCE_VECTORS + QUIRK_VECTORS])
+def test_tree_fold_same_results(content, pattern, exp, keys):
+    """fold='tree' (optimizing builder, 3-ary gate trees) decrypts
+    identically to the reference fold on every vector."""
+    ck, sk = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, content)
+    assert decrypt(ck, has_match(sk, ct, pattern, fold="tree")) == exp
+
+
+def test_tree_fold_shallower():
+    from fhe_regex_tpu.regex.executor import compile_circuit
+    from fhe_regex_tpu.params import TEST_PARAMS as P
+    b_ref, r_ref = compile_match(32, "/^ab{2,4}c+d*$/")
+    b_tree, r_tree = compile_match(32, "/^ab{2,4}c+d*$/", fold="tree")
+    c_ref = compile_circuit(P, b_ref, r_ref)
+    c_tree = compile_circuit(P, b_tree, r_tree)
+    assert len(c_tree.levels) < len(c_ref.levels) / 3
+    assert c_tree.pbs_count <= c_ref.pbs_count
+
+
 def test_trivial_result_for_anychar(keys):
     """Q10: /./ short-circuits to a trivial (noiseless) ciphertext."""
     ck, sk = keys
