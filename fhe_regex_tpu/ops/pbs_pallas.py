@@ -91,7 +91,7 @@ def prepare_ksk_limbs(params: Params, ksk: np.ndarray) -> np.ndarray:
 # ---------------- the external-product kernel ----------------
 
 
-def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
+def _ext_product_kernel(digits_ref, quad_ref, out_ref, acc_sc,
                         bank_sc, *, tiles: int, width: int, matmul_dtype):
     """grid = (c, r); r innermost; everything trace-time static.
 
@@ -103,9 +103,10 @@ def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
     tiles^2 tile uses; tau/mu loops are Python-static so no traced ref
     indices exist (the axon Mosaic compiler rejects those).
 
-    digits_ref   [B, N] int32 — digits of decomposition row r
+    digits_ref   [B, N] int — digits of decomposition row r
     quad_ref     [8, W] int32 — limb rows 0..3 of poly (r, c) (4..7 padding)
-    acc_prev_ref/out_ref [B, N] int32 — accumulator poly c
+    out_ref      [B, N] int32 — external-product output for poly c
+                 (the caller adds the previous accumulator outside)
     acc_sc       [B, N] int32 scratch, accumulates over the r grid dim
     """
     r = pl.program_id(1)
@@ -117,9 +118,6 @@ def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
     int8_path = matmul_dtype == jnp.int8
-
-    d_cast = [digits_ref[:, t * TILE:(t + 1) * TILE].astype(matmul_dtype)
-              for t in range(tiles)]
 
     total = acc_sc[:, :]
     for l in range(4):
@@ -145,10 +143,11 @@ def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
                      for lo, hi in runs]
             T = (parts[0] if len(parts) == 1
                  else jnp.concatenate(parts, axis=1)).astype(matmul_dtype)
+            d_tau = digits_ref[:, tau * TILE:(tau + 1) * TILE].astype(matmul_dtype)
             if int8_path:
-                part = jax.lax.dot(d_cast[tau], T, preferred_element_type=I32)
+                part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
             else:
-                part = jax.lax.dot(d_cast[tau], T,
+                part = jax.lax.dot(d_tau, T,
                                    preferred_element_type=jnp.float32)
             acc_l = part if acc_l is None else acc_l + part
         total = total + (acc_l.astype(I32) << (8 * l))
@@ -156,7 +155,7 @@ def _ext_product_kernel(digits_ref, quad_ref, acc_prev_ref, out_ref, acc_sc,
 
     @pl.when(r == n_r - 1)
     def _():
-        out_ref[:, :] = acc_prev_ref[:, :] + acc_sc[:, :]
+        out_ref[:, :] = acc_sc[:, :]
 
 
 def _group_quad(params: Params, quad_i):
@@ -184,9 +183,8 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
     # int8 digit blocks (4x less VMEM) when the int8 sublane rule allows
     d_dtype = jnp.int8 if B % 32 == 0 else I32
     digits2 = digits.astype(d_dtype).reshape(B, rows * N)
-    acc2 = acc.reshape(B, k1 * N)
     grid = (k1, rows)
-    out = pl.pallas_call(
+    prod = pl.pallas_call(
         functools.partial(_ext_product_kernel, tiles=tiles, width=W,
                           matmul_dtype=matmul_dtype),
         grid=grid,
@@ -195,18 +193,17 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, W), lambda c, r: (r * k1 + c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, N), lambda c, r: (0, c),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, N), lambda c, r: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, N), jnp.int32),
                         pltpu.VMEM((TILE, W), jnp.int32)],
-        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
-    )(digits2, quad_grp, acc2)
-    return out.reshape(B, k1, N)
+    )(digits2, quad_grp)
+    return acc + prod.reshape(B, k1, N)
 
 
 # ---------------- full pipeline ----------------

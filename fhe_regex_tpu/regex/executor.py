@@ -60,6 +60,9 @@ class CompiledCircuit:
         return sum(int((lv.lut_idx >= 0).sum()) for lv in self.levels)
 
 
+MAX_LEVEL_BATCH = 256   # largest PBS batch one kernel launch handles (VMEM)
+
+
 def _bucket(w: int, min_bucket: int = 8) -> int:
     b = min_bucket
     while b < w:
@@ -68,7 +71,8 @@ def _bucket(w: int, min_bucket: int = 8) -> int:
 
 
 def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
-                    min_bucket: int = 8) -> CompiledCircuit:
+                    min_bucket: int = 8,
+                    max_batch: int = MAX_LEVEL_BATCH) -> CompiledCircuit:
     lut_ids: Dict[LutKey, int] = {}
     for op in builder.ops:
         if op.lut not in lut_ids:
@@ -85,19 +89,22 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
     levels = []
     for lvl in sorted(by_level):
         ops = by_level[lvl]
-        w = _bucket(len(ops), min_bucket)
-        in_slots = np.zeros((w, 3), np.int32)
-        in_coefs = np.zeros((w, 3), np.int32)
-        consts = np.zeros(w, np.int32)
-        lut_idx = np.full(w, -1, np.int32)
-        out_idx = np.full(w, trash, np.int32)
-        for i, op in enumerate(ops):
-            in_slots[i] = op.in_slots
-            in_coefs[i] = op.in_coefs
-            consts[i] = op.const
-            lut_idx[i] = lut_ids[op.lut]
-            out_idx[i] = op.out_slot
-        levels.append(LevelPlan(in_slots, in_coefs, consts, lut_idx, out_idx))
+        # split oversized levels into <= max_batch kernel launches
+        for c0 in range(0, len(ops), max_batch):
+            chunk = ops[c0:c0 + max_batch]
+            w = min(_bucket(len(chunk), min_bucket), max_batch)
+            in_slots = np.zeros((w, 3), np.int32)
+            in_coefs = np.zeros((w, 3), np.int32)
+            consts = np.zeros(w, np.int32)
+            lut_idx = np.full(w, -1, np.int32)
+            out_idx = np.full(w, trash, np.int32)
+            for i, op in enumerate(chunk):
+                in_slots[i] = op.in_slots
+                in_coefs[i] = op.in_coefs
+                consts[i] = op.const
+                lut_idx[i] = lut_ids[op.lut]
+                out_idx[i] = op.out_slot
+            levels.append(LevelPlan(in_slots, in_coefs, consts, lut_idx, out_idx))
 
     return CompiledCircuit(
         params=params,

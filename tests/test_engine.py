@@ -73,6 +73,12 @@ QUIRK_VECTORS = [
     ("abbbbc", "/ab{2,4}c/", 1),
     ("abbbbbc", "/ab{2,4}c/", 0),
     ("ac", "/ab{,2}c/", 1),
+    # trailing-optional pruning: the bounds check (engine.rs:69-71) kills the
+    # epsilon variant of a trailing ? at end-of-content, so /^cdxe?$/ does
+    # NOT match "cdx" in the reference dialect
+    ("cdx", "/^cdxe?$/", 0),
+    ("cdxe", "/^cdxe?$/", 1),
+    ("cdxx", "/^cdxe?$/", 0),
 ]
 
 
