@@ -62,7 +62,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
     backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "jnp")
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
-        os.environ.get("BENCH_MATMUL", "bf16")]
+        os.environ.get("BENCH_MATMUL", "int8")]
 
     print(f"# params={params.name} B={B} iters={iters} backend={backend} "
           f"platform={jax.default_backend()}", file=sys.stderr)

@@ -212,12 +212,14 @@ def prepare_server_key(params: Params, server_key,
         )
     if backend == "pallas":
         from fhe_regex_tpu.ops import pbs_pallas as pp
+        # int8 MXU dots are exact (digits <= 64, limbs in [-128,127], int32
+        # accumulation) and run at 2x the bf16 rate on v5e — the default.
         return DeviceServerKey(
             params, backend,
             bsk_quad=jnp.asarray(pp.prepare_bsk_pallas(params, server_key.bsk)),
             ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
             .astype(jnp.bfloat16),
-            matmul_dtype=matmul_dtype or jnp.bfloat16,
+            matmul_dtype=matmul_dtype or jnp.int8,
         )
     raise ValueError(f"unknown backend {backend!r}")
 
