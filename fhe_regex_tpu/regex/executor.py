@@ -147,9 +147,17 @@ class Executor:
     def _level_jit(self):
         return jax.jit(self._run_level, donate_argnums=(0,))
 
-    def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray) -> np.ndarray:
+    def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray,
+            profile: bool = False) -> np.ndarray:
         """content_blocks: [len, num_blocks, n+1] uint32 -> radix result
-        [num_blocks, n+1] uint32."""
+        [num_blocks, n+1] uint32.
+
+        With profile=True each level is synchronized and timed; per-level
+        stats land in ``self.last_run_stats`` (the TPU-side analog of the
+        reference's ct-op logging, SURVEY.md §5).
+        """
+        import time
+
         params = self.params
         n1 = params.lwe_dimension + 1
         slab_np = np.zeros((circuit.num_slots, n1), np.int32)
@@ -158,13 +166,21 @@ class Executor:
             slab_np[1:1 + flat.shape[0]] = flat
         slab = jnp.asarray(slab_np)
         luts = jnp.asarray(circuit.luts.view(np.int32))
+        stats = []
         for lv in circuit.levels:
+            t0 = time.time() if profile else 0.0
             slab = self._level_jit(
                 slab, luts,
                 jnp.asarray(lv.in_slots), jnp.asarray(lv.in_coefs),
                 jnp.asarray(lv.consts), jnp.asarray(lv.lut_idx),
                 jnp.asarray(lv.out_idx),
             )
+            if profile:
+                slab.block_until_ready()
+                stats.append({"width": int(lv.lut_idx.shape[0]),
+                              "active": int((lv.lut_idx >= 0).sum()),
+                              "seconds": time.time() - t0})
+        self.last_run_stats = stats
         return self._finalize(circuit, slab)
 
     def _finalize(self, circuit: CompiledCircuit, slab) -> np.ndarray:

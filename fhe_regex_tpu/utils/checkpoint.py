@@ -1,0 +1,35 @@
+"""Optional persistence of encrypted artifacts (SURVEY.md §5 checkpoint note).
+
+The reference has no runtime checkpointing; its only persistence is the test
+key fixture.  For long multi-host jobs this module adds the save/restore the
+reference leaves out: encrypted content, match results, and mid-run executor
+slabs, all as plain ``.npz`` (ciphertexts are uint32 arrays — nothing secret
+beyond what the server already holds).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def save_ciphertext(path, ct: np.ndarray, kind: str = "content") -> None:
+    np.savez_compressed(Path(path), kind=np.array(kind), ct=ct.astype(np.uint32))
+
+
+def load_ciphertext(path) -> np.ndarray:
+    with np.load(Path(path)) as z:
+        return z["ct"]
+
+
+def save_slab(path, slab, level_idx: int) -> None:
+    """Checkpoint an executor slab between levels (resume = rerun remaining
+    levels on the restored slab)."""
+    np.savez_compressed(Path(path), slab=np.asarray(slab).view(np.uint32),
+                        level_idx=np.array(level_idx))
+
+
+def load_slab(path):
+    with np.load(Path(path)) as z:
+        return z["slab"].view(np.int32), int(z["level_idx"])
