@@ -86,7 +86,8 @@ def _executor_for(server_key: ServerKey, backend: Optional[str],
 
 def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
               backend: Optional[str] = None, mesh=None,
-              fold: str = "reference") -> np.ndarray:
+              fold: str = "reference",
+              engine: Optional[str] = None) -> np.ndarray:
     """Encrypted match: does `pattern` match the encrypted content?
 
     Mirrors ``engine::has_match`` (engine.rs:8-42): returns a radix ciphertext
@@ -94,11 +95,21 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     ('jnp' reference path / 'pallas' TPU kernel / None = auto); ``mesh``
     shards each level's bootstrap batch across devices; ``fold='tree'``
     replaces the reference's sequential OR fold with a log-depth tree
-    (same decrypted result, far lower latency).
+    (same decrypted result, far lower latency); ``engine`` selects the
+    circuit compiler ('python' / 'native' C++ / None = native if built —
+    byte-exact parity is test-enforced).
     """
     params = server_key.params
-    builder, root = compile_match(len(ct_content), pattern,
-                                  num_blocks=params.num_blocks, fold=fold)
+    if engine is None:
+        from fhe_regex_tpu.regex.native import available
+        engine = "native" if available() else "python"
+    if engine == "native":
+        from fhe_regex_tpu.regex.native import compile_match_native
+        builder, root = compile_match_native(
+            len(ct_content), pattern, num_blocks=params.num_blocks, fold=fold)
+    else:
+        builder, root = compile_match(len(ct_content), pattern,
+                                      num_blocks=params.num_blocks, fold=fold)
     min_bucket = 8 if mesh is None else max(8, int(mesh.devices.size))
     circuit = compile_circuit(params, builder, root, min_bucket=min_bucket)
     executor = _executor_for(server_key, backend, mesh)

@@ -1,0 +1,161 @@
+"""ctypes binding for the native C++ circuit compiler (native/circuit.cpp).
+
+The C++ runtime is the hot-host-path twin of regex/engine.py +
+regex/circuit.py: branch enumeration, hash-consed micro-op DAG, counters and
+level assignment — byte-exact against the Python builder (enforced by
+tests/test_native_circuit.py), but orders of magnitude faster on
+combinatorially large patterns.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from fhe_regex_tpu.crypto.csprng import _LIB_PATH
+from fhe_regex_tpu.ops.luts import (
+    LUT_AND2, LUT_AND3, LUT_EQ, LUT_GT, LUT_GT_COMBINE, LUT_LE, LUT_LT,
+    LUT_OR2, LUT_OR3,
+)
+from fhe_regex_tpu.regex import parser as P
+from fhe_regex_tpu.regex.circuit import BitVal, Node, PbsOp
+from fhe_regex_tpu.regex.parser import parse
+
+_lib = None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _load():
+    global _lib
+    if _lib is None and _LIB_PATH.exists():
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.circuit_compile.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.circuit_compile.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.circuit_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+    return _lib
+
+
+def serialize_ast(re: P.RegExpr, out: Optional[List[int]] = None) -> np.ndarray:
+    """Pre-order int32 encoding matching circuit.cpp's wire format."""
+    first = out is None
+    if first:
+        out = []
+    if isinstance(re, P.SOF):
+        out.append(0)
+    elif isinstance(re, P.EOF):
+        out.append(1)
+    elif isinstance(re, P.Char):
+        out.extend([2, re.c])
+    elif isinstance(re, P.AnyChar):
+        out.append(3)
+    elif isinstance(re, P.Between):
+        out.extend([4, re.frm, re.to])
+    elif isinstance(re, P.Range):
+        out.extend([5, len(re.cs), *re.cs])
+    elif isinstance(re, P.Not):
+        out.append(6)
+        serialize_ast(re.not_re, out)
+    elif isinstance(re, P.Either):
+        out.append(7)
+        serialize_ast(re.l_re, out)
+        serialize_ast(re.r_re, out)
+    elif isinstance(re, P.Optional_):
+        out.append(8)
+        serialize_ast(re.opt_re, out)
+    elif isinstance(re, P.Repeated):
+        out.extend([9,
+                    0 if re.at_least is None else re.at_least + 1,
+                    0 if re.at_most is None else re.at_most + 1])
+        serialize_ast(re.repeat_re, out)
+    elif isinstance(re, P.Seq):
+        if not re.re_xs:
+            raise ValueError(
+                "empty sequence in pattern (e.g. bare /^/) is not executable")
+        out.extend([10, len(re.re_xs)])
+        for x in re.re_xs:
+            serialize_ast(x, out)
+    else:
+        raise ValueError(f"unknown AST node {re!r}")
+    if first:
+        return np.asarray(out, np.int32)
+    return out  # type: ignore[return-value]
+
+
+_LUT_BY_KIND = {4: LUT_AND2, 5: LUT_OR2, 6: LUT_AND3, 7: LUT_OR3,
+                8: LUT_GT_COMBINE}
+
+
+def _lut_key(kind: int, c: int):
+    if kind == 0:
+        return LUT_EQ(c)
+    if kind == 1:
+        return LUT_GT(c)
+    if kind == 2:
+        return LUT_LT(c)
+    if kind == 3:
+        return LUT_LE(c)
+    return _LUT_BY_KIND[kind]
+
+
+@dataclasses.dataclass
+class NativeCompiled:
+    """CircuitBuilder-compatible result of the C++ compiler."""
+    content_len: int
+    num_blocks: int
+    num_content_slots: int
+    ops: List[PbsOp]
+    ct_ops: int
+    cache_hits: int
+
+
+def compile_match_native(content_len: int, pattern: str, num_blocks: int = 4,
+                         fold: str = "reference") -> Tuple[NativeCompiled, Node]:
+    """Native counterpart of engine.compile_match (same return shape)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native/libfheregex.so not built (make -C native)")
+    ast = serialize_ast(parse(pattern))
+    mode = 1 if fold == "tree" else 0
+    blob = lib.circuit_compile(
+        ast.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ast), content_len, num_blocks, mode)
+    try:
+        n_ops = int(blob[0])
+        ct_ops, cache_hits = int(blob[1]), int(blob[2])
+        root = BitVal(const=int(blob[3]), sign=int(blob[4]),
+                      slot=(None if int(blob[4]) == 0 else int(blob[5])))
+        num_content_slots = int(blob[6])
+        rec = np.ctypeslib.as_array(
+            ctypes.cast(ctypes.addressof(blob.contents) + 7 * 8,
+                        ctypes.POINTER(ctypes.c_int64)),
+            shape=(n_ops, 11)).copy() if n_ops else np.zeros((0, 11), np.int64)
+    finally:
+        lib.circuit_free(blob)
+
+    ops = [
+        PbsOp(
+            in_slots=(int(r[0]), int(r[1]), int(r[2])),
+            in_coefs=(int(r[3]), int(r[4]), int(r[5])),
+            const=int(r[6]),
+            lut=_lut_key(int(r[7]), int(r[8])),
+            out_slot=int(r[9]),
+            level=int(r[10]),
+        )
+        for r in rec
+    ]
+    builder = NativeCompiled(
+        content_len=content_len, num_blocks=num_blocks,
+        num_content_slots=num_content_slots, ops=ops,
+        ct_ops=ct_ops, cache_hits=cache_hits,
+    )
+    return builder, Node(expr=("native",), val=root)
