@@ -27,6 +27,11 @@ def main(argv=None) -> int:
                     help="use noiseless trivial content encryption (fast test path)")
     ap.add_argument("--backend", default=None, choices=["jnp", "pallas"],
                     help="PBS kernel backend (default: auto)")
+    ap.add_argument("--fold", default="reference", choices=["reference", "tree"],
+                    help="OR-fold order: reference (counter parity) or tree "
+                         "(log-depth, lower latency)")
+    ap.add_argument("--engine", default=None, choices=["python", "native"],
+                    help="circuit compiler (default: native C++ if built)")
     ap.add_argument("--seed", type=int, default=None, help="keygen seed")
     args = ap.parse_args(argv)
 
@@ -62,7 +67,8 @@ def main(argv=None) -> int:
         return 2
 
     log.info("applying regex..")
-    ct_res = has_match(server_key, ct_content, args.pattern, backend=args.backend)
+    ct_res = has_match(server_key, ct_content, args.pattern,
+                       backend=args.backend, fold=args.fold, engine=args.engine)
     res = decrypt(client_key, ct_res)
     print(f"res: {res}")
     return 0
