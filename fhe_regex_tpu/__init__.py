@@ -38,6 +38,7 @@ __all__ = [
     "encrypt_str",
     "trivial_encrypt_str",
     "has_match",
+    "has_match_many",
     "decrypt",
     "compile_match",
     "compile_circuit",
@@ -117,6 +118,38 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     logger.info(
         "%d ciphertext operations, %d cache hits (%d bootstraps in %d levels)",
         circuit.ct_ops, circuit.cache_hits, circuit.pbs_count, len(circuit.levels),
+    )
+    return result
+
+
+def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
+                   backend: Optional[str] = None, fold: str = "tree",
+                   engine: Optional[str] = None) -> np.ndarray:
+    """Match one pattern against many equal-length encrypted contents.
+
+    The serving fast path: the compiled circuit is shared and every level's
+    bootstrap batch spans all contents.  Returns [C, num_blocks, n+1].
+    """
+    params = server_key.params
+    contents = np.ascontiguousarray(ct_contents)
+    if contents.ndim != 4:
+        raise ValueError("expected [C, len, num_blocks, n+1] contents")
+    if engine is None:
+        from fhe_regex_tpu.regex.native import available
+        engine = "native" if available() else "python"
+    if engine == "native":
+        from fhe_regex_tpu.regex.native import compile_match_native
+        builder, root = compile_match_native(
+            contents.shape[1], pattern, num_blocks=params.num_blocks, fold=fold)
+    else:
+        builder, root = compile_match(contents.shape[1], pattern,
+                                      num_blocks=params.num_blocks, fold=fold)
+    circuit = compile_circuit(params, builder, root)
+    executor = _executor_for(server_key, backend)
+    result = executor.run_many(circuit, contents)
+    logger.info(
+        "%d contents x (%d ops, %d bootstraps in %d levels)",
+        contents.shape[0], circuit.ct_ops, circuit.pbs_count, len(circuit.levels),
     )
     return result
 

@@ -183,6 +183,61 @@ class Executor:
         self.last_run_stats = stats
         return self._finalize(circuit, slab)
 
+    def run_many(self, circuit: CompiledCircuit,
+                 contents: np.ndarray) -> np.ndarray:
+        """Match ONE compiled pattern against MANY encrypted contents.
+
+        contents: [C, len, num_blocks, n+1] uint32 -> [C, num_blocks, n+1].
+
+        The serving fast path: all C contents share the circuit, so every
+        level's bootstrap batch is C x width — far better MXU utilization
+        than C separate runs (levels amortize across contents).
+        """
+        params = self.params
+        C = contents.shape[0]
+        n1 = params.lwe_dimension + 1
+        S = circuit.num_slots
+        slab_np = np.zeros((C * S, n1), np.int32)
+        if contents.size:
+            flat = contents.reshape(C, -1, n1).view(np.int32)
+            for ci in range(C):
+                slab_np[ci * S + 1: ci * S + 1 + flat.shape[1]] = flat[ci]
+        slab = jnp.asarray(slab_np)
+        luts = jnp.asarray(circuit.luts.view(np.int32))
+        offs = (np.arange(C, dtype=np.int32) * S)[:, None]
+        for lv in circuit.levels:
+            # tile the level across contents with per-content slot offsets;
+            # padded entries (lut_idx < 0) keep gathering slot 0 (the
+            # reserved zero ct) in every content's slab segment
+            active = lv.lut_idx >= 0
+            in_slots = np.where((lv.in_coefs != 0) & active[:, None],
+                                lv.in_slots[None] + offs[:, None], 0)
+            out_idx = np.where(active, lv.out_idx[None] + offs,
+                               lv.out_idx[None])
+            slab = self._level_jit(
+                slab, luts,
+                jnp.asarray(in_slots.reshape(-1, 3)),
+                jnp.asarray(np.broadcast_to(lv.in_coefs, (C,) + lv.in_coefs.shape)
+                            .reshape(-1, 3)),
+                jnp.asarray(np.broadcast_to(lv.consts, (C,) + lv.consts.shape)
+                            .reshape(-1)),
+                jnp.asarray(np.broadcast_to(lv.lut_idx, (C,) + lv.lut_idx.shape)
+                            .reshape(-1)),
+                jnp.asarray(out_idx.reshape(-1)),
+            )
+        slab_host = np.asarray(slab).view(U32)
+        out = np.zeros((C, params.num_blocks, n1), U32)
+        val = circuit.root.val
+        for ci in range(C):
+            if val.sign == 0:
+                out[ci, 0, -1] = U32(val.const * params.delta)
+            else:
+                ct = slab_host[ci * S + val.slot].astype(np.int64)
+                blk = val.sign * ct
+                blk[-1] += val.const * params.delta
+                out[ci, 0] = (blk % (1 << 32)).astype(U32)
+        return out
+
     def _finalize(self, circuit: CompiledCircuit, slab) -> np.ndarray:
         """Assemble the radix result ciphertext from the root bit value.
 

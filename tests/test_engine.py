@@ -143,6 +143,21 @@ def test_nonascii_content_rejected(keys):
         encrypt_str(ck, "héllo")
 
 
+def test_has_match_many(keys):
+    """Batched-contents serving path agrees with per-content matches."""
+    from fhe_regex_tpu import has_match_many
+    import numpy as np
+    ck, sk = keys
+    contents = ["abc", "abd", "xbc", "aabc", "abca"][:4]
+    contents = [c.ljust(4, "z") for c in contents]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    res = has_match_many(sk, cts, "/abc/")
+    got = [decrypt(ck, res[i]) for i in range(len(contents))]
+    want = [decrypt(ck, has_match(sk, trivial_encrypt_str(TEST_PARAMS, c), "/abc/"))
+            for c in contents]
+    assert got == want == [1, 0, 0, 1]
+
+
 def test_real_encryption_roundtrip(noisy_keys):
     """Full client-side encryption (not trivial) through the engine."""
     from fhe_regex_tpu import encrypt_str
