@@ -57,7 +57,21 @@ def main():
                 "case_insensitive_classes": 1, "quantifiers": 0,
                 "alternation_combo": 1}
 
-    for cfg in DRIVER_CONFIGS:
+    configs = DRIVER_CONFIGS + [
+        # BASELINE.json north-star: /^a[b-d]{2,4}e$/i over 64 encrypted chars
+        # (fully anchored, so no 64-char content can match: expected 0 — the
+        # bit-exactness claim is that we agree with the reference on that)
+        {"name": "north_star_64", "pattern": "/^a[b-d]{2,4}e$/i", "content_len": 64},
+        # and the same pattern on content it CAN match ([b-d] excludes 'b'
+        # by Q1, so the repeats must be c/d)
+        {"name": "north_star_hit", "pattern": "/^a[b-d]{2,4}e$/i", "content_len": 5},
+    ]
+    contents["north_star_64"] = "a" + "c" * 62 + "e"
+    contents["north_star_hit"] = "Acdde"
+    expected["north_star_64"] = 0
+    expected["north_star_hit"] = 1
+
+    for cfg in configs:
         name = cfg["name"]
         content = contents[name]
         assert len(content) == cfg["content_len"], (name, len(content))

@@ -79,12 +79,19 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
             lut_ids[op.lut] = len(lut_ids)
     luts = (np.stack([make_lut_poly(params, lut_fn(k)) for k in lut_ids])
             if lut_ids else np.zeros((1, params.polynomial_size), U32))
+    # pad the LUT table to a power-of-two row count and the slab to a
+    # multiple of 1024 so circuits share XLA executable shapes — otherwise
+    # every pattern/content-length recompiles each level kernel
+    luts = np.concatenate(
+        [luts, np.zeros((_bucket(luts.shape[0], 4) - luts.shape[0],
+                         luts.shape[1]), U32)])
 
     by_level: Dict[int, List[PbsOp]] = {}
     for op in builder.ops:
         by_level.setdefault(op.level, []).append(op)
 
     num_slots = builder.num_content_slots + len(builder.ops) + 1
+    num_slots = ((num_slots + 1023) // 1024) * 1024
     trash = num_slots - 1
     levels = []
     for lvl in sorted(by_level):
