@@ -21,9 +21,13 @@ from fhe_regex_tpu.params import Params
 U32 = np.uint32
 
 
-def encode(params: Params, m: int) -> np.uint32:
+def torus_dtype(params: Params):
+    return np.uint32 if params.torus_bits == 32 else np.uint64
+
+
+def encode(params: Params, m: int):
     """Plaintext block value -> torus (padding bit stays 0 for m < slots/2)."""
-    return U32((m % params.plaintext_slots) * params.delta)
+    return torus_dtype(params)((m % params.plaintext_slots) * params.delta)
 
 
 def decode(params: Params, phase: np.uint32) -> int:
@@ -37,11 +41,12 @@ def decode(params: Params, phase: np.uint32) -> int:
 def encrypt_lwe(params: Params, s: np.ndarray, m: int, rng) -> np.ndarray:
     """Encrypt one block value under LWE secret key s (binary, length n)."""
     n = params.lwe_dimension
-    a = rng.uniform_torus(n)
-    e = rng.gaussian_torus((), params.lwe_noise_std)
+    dt = torus_dtype(params)
+    a = rng.uniform_torus(n, params.torus_bits)
+    e = rng.gaussian_torus((), params.lwe_noise_std, params.torus_bits)
     with np.errstate(over="ignore"):
-        b = (np.sum(a * s, dtype=U32) + encode(params, m) + e).astype(U32)
-    ct = np.empty(n + 1, dtype=U32)
+        b = (np.sum(a * s.astype(dt), dtype=dt) + encode(params, m) + e).astype(dt)
+    ct = np.empty(n + 1, dtype=dt)
     ct[:n] = a
     ct[n] = b
     return ct
@@ -49,8 +54,9 @@ def encrypt_lwe(params: Params, s: np.ndarray, m: int, rng) -> np.ndarray:
 
 def decrypt_lwe(params: Params, s: np.ndarray, ct: np.ndarray) -> int:
     n = params.lwe_dimension
+    dt = torus_dtype(params)
     with np.errstate(over="ignore"):
-        phase = (ct[n] - np.sum(ct[:n] * s, dtype=U32)).astype(U32)
+        phase = (ct[n] - np.sum(ct[:n] * s.astype(dt), dtype=dt)).astype(dt)
     return decode(params, phase)
 
 
@@ -60,7 +66,7 @@ def trivial_lwe(params: Params, m: int) -> np.ndarray:
     Equivalent of shortint ``create_trivial`` (reference ciphertext.rs:15-26):
     decrypts correctly under any key.
     """
-    ct = np.zeros(params.lwe_dimension + 1, dtype=U32)
+    ct = np.zeros(params.lwe_dimension + 1, dtype=torus_dtype(params))
     ct[-1] = encode(params, m)
     return ct
 

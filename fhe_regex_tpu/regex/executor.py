@@ -79,12 +79,13 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
             lut_ids[op.lut] = len(lut_ids)
     luts = (np.stack([make_lut_poly(params, lut_fn(k)) for k in lut_ids])
             if lut_ids else np.zeros((1, params.polynomial_size), U32))
-    # pad the LUT table to a power-of-two row count and the slab to a
-    # multiple of 1024 so circuits share XLA executable shapes — otherwise
-    # every pattern/content-length recompiles each level kernel
+    # pad the LUT table to a FIXED row count and the slab to a multiple of
+    # 1024 so circuits share XLA executable shapes — otherwise every
+    # pattern/content-length recompiles each level kernel.  128 covers every
+    # possible byte-wise LUT (4 nibble-op kinds x 16 constants + 5 gates).
+    lut_rows = 128 if luts.shape[0] <= 128 else _bucket(luts.shape[0], 128)
     luts = np.concatenate(
-        [luts, np.zeros((_bucket(luts.shape[0], 4) - luts.shape[0],
-                         luts.shape[1]), U32)])
+        [luts, np.zeros((lut_rows - luts.shape[0], luts.shape[1]), U32)])
 
     by_level: Dict[int, List[PbsOp]] = {}
     for op in builder.ops:
