@@ -23,22 +23,44 @@ U32 = np.uint32
 I64 = np.int64
 
 
-def negacyclic_polymul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Exact negacyclic product mod (X^N + 1), coefficients mod 2^32.
+def negacyclic_polymul(a: np.ndarray, b: np.ndarray,
+                       torus_bits: int = 32) -> np.ndarray:
+    """Exact negacyclic product mod (X^N + 1), coefficients mod 2^torus_bits.
 
     Reference semantics of concrete-fft's negacyclic f64 FFT polymul
-    (SURVEY.md N10) — here computed exactly over the integers.
+    (SURVEY.md N10) — here computed exactly over the integers.  Requires at
+    least one operand small (gadget digits / binary key), which holds
+    everywhere this is used; the 64-bit path limb-splits the full operand
+    into 16-bit limbs so int64 convolutions stay exact.
     """
     n = a.shape[-1]
-    # center to int32 range so int64 products cannot overflow (result is the
-    # same mod 2^32); requires at least one operand small (digits/binary key),
-    # which holds everywhere this is used.
-    ac = np.ascontiguousarray(a, dtype=U32).view(np.int32).astype(I64)
-    bc = np.ascontiguousarray(b, dtype=U32).view(np.int32).astype(I64)
-    full = np.convolve(ac, bc)
-    res = full[:n].copy()
-    res[: n - 1] -= full[n:]
-    return res.astype(np.uint64).astype(U32)
+    if torus_bits == 32:
+        # center to int32 range so int64 products cannot overflow (result is
+        # the same mod 2^32)
+        ac = np.ascontiguousarray(a, dtype=U32).view(np.int32).astype(I64)
+        bc = np.ascontiguousarray(b, dtype=U32).view(np.int32).astype(I64)
+        full = np.convolve(ac, bc)
+        res = full[:n].copy()
+        res[: n - 1] -= full[n:]
+        return res.astype(np.uint64).astype(U32)
+    U64 = np.uint64
+    au = np.ascontiguousarray(a, dtype=U64)
+    bu = np.ascontiguousarray(b, dtype=U64)
+    ac = au.view(np.int64)
+    bc = bu.view(np.int64)
+    # put the small operand first
+    if np.abs(bc).max(initial=0) < np.abs(ac).max(initial=0):
+        ac, bc, au, bu = bc, ac, bu, au
+    assert np.abs(ac).max(initial=0) < (1 << 24), "no small operand for 64-bit polymul"
+    acc = np.zeros(n, U64)
+    for j in range(4):
+        limb = ((bu >> U64(16 * j)) & U64(0xFFFF)).astype(I64)
+        full = np.convolve(ac, limb)
+        res = full[:n].copy()
+        res[: n - 1] -= full[n:]
+        with np.errstate(over="ignore"):
+            acc = acc + (res.astype(U64) << U64(16 * j))
+    return acc
 
 
 def decompose_balanced(v: np.ndarray, base_log: int, level: int, torus_bits: int = 32):
@@ -66,47 +88,55 @@ def decompose_balanced(v: np.ndarray, base_log: int, level: int, torus_bits: int
 
 def recompose(digits: np.ndarray, base_log: int, level: int, torus_bits: int = 32):
     acc = np.zeros(digits.shape[1:], dtype=np.uint64)
-    for j in range(level):
-        g = np.uint64(1) << np.uint64(torus_bits - base_log * (j + 1))
-        acc += digits[j].astype(np.int64).astype(np.uint64) * g
-    return acc.astype(U32)
+    with np.errstate(over="ignore"):
+        for j in range(level):
+            g = np.uint64(1) << np.uint64(torus_bits - base_log * (j + 1))
+            acc += digits[j].astype(np.int64).astype(np.uint64) * g
+    return acc.astype(U32 if torus_bits == 32 else np.uint64)
 
 
 def encrypt_glwe(params: Params, S: np.ndarray, M: np.ndarray, rng) -> np.ndarray:
     """GLWE ciphertext [(k+1), N] of message polynomial M [N]."""
-    k, N = params.glwe_dimension, params.polynomial_size
-    ct = np.empty((k + 1, N), dtype=U32)
-    body = np.zeros(N, dtype=U32)
-    for j in range(k):
-        a = rng.uniform_torus(N)
-        ct[j] = a
-        body = (body + negacyclic_polymul(a, S[j])).astype(U32)
-    e = rng.gaussian_torus(N, params.glwe_noise_std)
-    ct[k] = (body + M.astype(U32) + e).astype(U32)
+    k, N, tb = params.glwe_dimension, params.polynomial_size, params.torus_bits
+    dt = np.uint32 if tb == 32 else np.uint64
+    ct = np.empty((k + 1, N), dtype=dt)
+    body = np.zeros(N, dtype=dt)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            a = rng.uniform_torus(N, tb)
+            ct[j] = a
+            body = (body + negacyclic_polymul(a, S[j], tb)).astype(dt)
+        e = rng.gaussian_torus(N, params.glwe_noise_std, tb)
+        ct[k] = (body + M.astype(dt) + e).astype(dt)
     return ct
 
 
 def decrypt_glwe(params: Params, S: np.ndarray, ct: np.ndarray) -> np.ndarray:
     """Phase polynomial (message + noise) of a GLWE ciphertext."""
-    k = params.glwe_dimension
+    k, tb = params.glwe_dimension, params.torus_bits
+    dt = np.uint32 if tb == 32 else np.uint64
     phase = ct[k].copy()
-    for j in range(k):
-        phase = (phase - negacyclic_polymul(ct[j], S[j])).astype(U32)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            phase = (phase - negacyclic_polymul(ct[j], S[j], tb)).astype(dt)
     return phase
 
 
 def encrypt_ggsw_bit(params: Params, S: np.ndarray, m: int, rng) -> np.ndarray:
     """GGSW of a bit m: [(k+1)*level, (k+1), N]."""
     k, N, l = params.glwe_dimension, params.polynomial_size, params.pbs_level
-    rows = np.empty(((k + 1) * l, k + 1, N), dtype=U32)
-    zero = np.zeros(N, dtype=U32)
+    tb = params.torus_bits
+    dt = np.uint32 if tb == 32 else np.uint64
+    rows = np.empty(((k + 1) * l, k + 1, N), dtype=dt)
+    zero = np.zeros(N, dtype=dt)
     r = 0
+    mask = (1 << tb) - 1
     for comp in range(k + 1):
         for j in range(l):
             row = encrypt_glwe(params, S, zero, rng)
-            g = U32((1 << (params.torus_bits - params.pbs_base_log * (j + 1))) & 0xFFFFFFFF)
+            g = dt((1 << (tb - params.pbs_base_log * (j + 1))) & mask)
             with np.errstate(over="ignore"):
-                row[comp, 0] = (row[comp, 0] + U32(m) * g).astype(U32)
+                row[comp, 0] = (row[comp, 0] + dt(m) * g).astype(dt)
             rows[r] = row
             r += 1
     return rows
@@ -115,15 +145,18 @@ def encrypt_ggsw_bit(params: Params, S: np.ndarray, m: int, rng) -> np.ndarray:
 def external_product(params: Params, ggsw: np.ndarray, glwe_ct: np.ndarray) -> np.ndarray:
     """GGSW (x) GLWE -> GLWE encrypting (bit * message)."""
     k, N, l = params.glwe_dimension, params.polynomial_size, params.pbs_level
-    out = np.zeros((k + 1, N), dtype=U32)
+    tb = params.torus_bits
+    dt = np.uint32 if tb == 32 else np.uint64
+    out = np.zeros((k + 1, N), dtype=dt)
     r = 0
-    for comp in range(k + 1):
-        digits = decompose_balanced(glwe_ct[comp], params.pbs_base_log, l)
-        for j in range(l):
-            d = digits[j]
-            for c in range(k + 1):
-                out[c] = (out[c] + negacyclic_polymul(d, ggsw[r, c])).astype(U32)
-            r += 1
+    with np.errstate(over="ignore"):
+        for comp in range(k + 1):
+            digits = decompose_balanced(glwe_ct[comp], params.pbs_base_log, l, tb)
+            for j in range(l):
+                d = digits[j]
+                for c in range(k + 1):
+                    out[c] = (out[c] + negacyclic_polymul(d, ggsw[r, c], tb)).astype(dt)
+                r += 1
     return out
 
 
@@ -140,13 +173,16 @@ def gen_keyswitch_key(params: Params, big_key: np.ndarray, lwe_key: np.ndarray, 
 
     kN = params.glwe_key_dim
     n = params.lwe_dimension
-    ksk = np.empty((kN, params.ks_level, n + 1), dtype=U32)
+    tb = params.torus_bits
+    dt = np.uint32 if tb == 32 else np.uint64
+    mask = (1 << tb) - 1
+    ksk = np.empty((kN, params.ks_level, n + 1), dtype=dt)
     with np.errstate(over="ignore"):
         for t in range(kN):
             for j in range(params.ks_level):
                 ct = encrypt_lwe(params, lwe_key, 0, rng)
-                g = U32((1 << (params.torus_bits - params.ks_base_log * (j + 1))) & 0xFFFFFFFF)
-                ct[n] = (ct[n] + U32(int(big_key[t])) * g).astype(U32)
+                g = dt((1 << (tb - params.ks_base_log * (j + 1))) & mask)
+                ct[n] = (ct[n] + dt(int(big_key[t])) * g).astype(dt)
                 ksk[t, j] = ct
     return ksk
 

@@ -18,20 +18,26 @@ from fhe_regex_tpu.params import Params
 U32 = np.uint32
 
 
+def _dt(params: Params):
+    return np.uint32 if params.torus_bits == 32 else np.uint64
+
+
 def mod_switch(params: Params, ct: np.ndarray) -> np.ndarray:
     """Round an LWE ct from q to Z_{2N}: a~ = round(a * 2N / q)."""
     N = params.polynomial_size
     shift = params.torus_bits - (N.bit_length() - 1) - 1  # q / 2N = 2^shift
     v = ct.astype(np.uint64)
-    return (((v + (np.uint64(1) << np.uint64(shift - 1))) >> np.uint64(shift))
-            % np.uint64(2 * N)).astype(np.int64)
+    with np.errstate(over="ignore"):
+        return (((v + (np.uint64(1) << np.uint64(shift - 1))) >> np.uint64(shift))
+                % np.uint64(2 * N)).astype(np.int64)
 
 
 def negacyclic_rotate(p: np.ndarray, r: int) -> np.ndarray:
     """X^r * p mod (X^N + 1): a shift with sign flips on wraparound."""
     N = p.shape[-1]
     r = int(r) % (2 * N)
-    doubled = np.concatenate([p, (-p.astype(np.int64)).astype(U32)])
+    with np.errstate(over="ignore"):
+        doubled = np.concatenate([p, (p.dtype.type(0) - p)])
     idx = (np.arange(N) - r) % (2 * N)
     return doubled[idx]
 
@@ -47,46 +53,49 @@ def make_lut_poly(params: Params, f) -> np.ndarray:
     slots = params.plaintext_slots
     r = 2 * N // slots
     delta = params.delta
-    v = np.zeros(N, dtype=np.int64)
+    q = params.q
+    v = np.zeros(N, dtype=np.uint64)
     for t in range(N):
         m = (t + r // 2) // r
         if m < slots // 2:
-            v[t] = (f(m) % slots) * delta
+            v[t] = ((f(m) % slots) * delta) % q
         else:  # wrap region: phases just below 0 land at -v[t - N] = +f(0)
-            v[t] = -((f(0) % slots) * delta)
-    return v.astype(np.uint64).astype(U32)
+            v[t] = (-((f(0) % slots) * delta)) % q
+    return v.astype(_dt(params))
 
 
 def blind_rotate(params: Params, bsk: np.ndarray, lut_poly: np.ndarray,
                  ct_ms: np.ndarray) -> np.ndarray:
     """Compute GLWE(X^{-phase~} * v) via the CMUX ladder."""
     k, N, n = params.glwe_dimension, params.polynomial_size, params.lwe_dimension
-    acc = np.zeros((k + 1, N), dtype=U32)
+    dt = _dt(params)
+    acc = np.zeros((k + 1, N), dtype=dt)
     acc[k] = negacyclic_rotate(lut_poly, -int(ct_ms[n]))
-    for i in range(n):
-        a_i = int(ct_ms[i])
-        if a_i == 0:
-            continue
-        diff = np.stack([
-            (negacyclic_rotate(acc[c], a_i).astype(np.int64) - acc[c].astype(np.int64))
-            .astype(np.uint64).astype(U32)
-            for c in range(k + 1)
-        ])
-        acc = (acc.astype(np.int64) + external_product(params, bsk[i], diff)
-               .astype(np.int64)).astype(np.uint64).astype(U32)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            a_i = int(ct_ms[i])
+            if a_i == 0:
+                continue
+            diff = np.stack([
+                (negacyclic_rotate(acc[c], a_i) - acc[c]).astype(dt)
+                for c in range(k + 1)
+            ])
+            acc = (acc + external_product(params, bsk[i], diff)).astype(dt)
     return acc
 
 
 def sample_extract(params: Params, acc: np.ndarray) -> np.ndarray:
     """GLWE -> big LWE (dim kN) extracting coefficient 0."""
     k, N = params.glwe_dimension, params.polynomial_size
-    out = np.empty(params.glwe_key_dim + 1, dtype=U32)
-    for c in range(k):
-        a = acc[c]
-        ext = np.empty(N, dtype=U32)
-        ext[0] = a[0]
-        ext[1:] = (-a[:0:-1].astype(np.int64)).astype(np.uint64).astype(U32)
-        out[c * N:(c + 1) * N] = ext
+    dt = _dt(params)
+    out = np.empty(params.glwe_key_dim + 1, dtype=dt)
+    with np.errstate(over="ignore"):
+        for c in range(k):
+            a = acc[c]
+            ext = np.empty(N, dtype=dt)
+            ext[0] = a[0]
+            ext[1:] = (dt(0) - a[:0:-1]).astype(dt)
+            out[c * N:(c + 1) * N] = ext
     out[-1] = acc[k][0]
     return out
 
@@ -94,13 +103,18 @@ def sample_extract(params: Params, acc: np.ndarray) -> np.ndarray:
 def key_switch(params: Params, ksk: np.ndarray, big_ct: np.ndarray) -> np.ndarray:
     """Big LWE (dim kN) -> small LWE (dim n) via the keyswitch key."""
     kN, n = params.glwe_key_dim, params.lwe_dimension
-    out = np.zeros(n + 1, dtype=np.int64)
-    out[n] = int(big_ct[kN])
-    digits = decompose_balanced(big_ct[:kN], params.ks_base_log, params.ks_level)
-    for j in range(params.ks_level):
-        # out -= sum_t digits[j, t] * ksk[t, j]
-        out -= digits[j].astype(np.int64) @ ksk[:, j, :].astype(np.int64)
-    return out.astype(np.uint64).astype(U32)
+    dt = _dt(params)
+    out = np.zeros(n + 1, dtype=np.uint64)
+    out[n] = np.uint64(big_ct[kN])
+    digits = decompose_balanced(big_ct[:kN], params.ks_base_log,
+                                params.ks_level, params.torus_bits)
+    with np.errstate(over="ignore"):
+        for j in range(params.ks_level):
+            # out -= sum_t digits[j, t] * ksk[t, j]  (mod 2^torus_bits)
+            prod = (digits[j].astype(np.int64).astype(np.uint64)[:, None]
+                    * ksk[:, j, :].astype(np.uint64)).sum(axis=0, dtype=np.uint64)
+            out = out - prod
+    return out.astype(dt)
 
 
 def pbs(params: Params, bsk: np.ndarray, ksk: np.ndarray, ct: np.ndarray,

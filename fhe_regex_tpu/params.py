@@ -217,6 +217,16 @@ TEST_PARAMS_NOISY = dataclasses.replace(
     glwe_noise_std=1.0,
 )
 
+# 64-bit-torus test set: validates the reference-parity (tfhe-rs-shaped)
+# torus width through the golden model (SURVEY.md N1).
+TEST_PARAMS_64 = dataclasses.replace(
+    TEST_PARAMS,
+    name="TEST_PARAMS_64",
+    torus_bits=64,
+    lwe_noise_std=0.0,
+    glwe_noise_std=0.0,
+)
+
 MIN_SIGMA_MARGIN = 5.0
 
 _REGISTRY = {
@@ -226,6 +236,7 @@ _REGISTRY = {
         REF_MESSAGE_2_CARRY_2_64,
         TEST_PARAMS,
         TEST_PARAMS_NOISY,
+        TEST_PARAMS_64,
     )
 }
 
