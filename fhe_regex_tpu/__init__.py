@@ -100,6 +100,8 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     circuit compiler ('python' / 'native' C++ / None = native if built —
     byte-exact parity is test-enforced).
     """
+    from fhe_regex_tpu.regex.executor import default_min_bucket
+
     params = server_key.params
     if engine is None:
         from fhe_regex_tpu.regex.native import available
@@ -111,7 +113,9 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     else:
         builder, root = compile_match(len(ct_content), pattern,
                                       num_blocks=params.num_blocks, fold=fold)
-    min_bucket = 8 if mesh is None else max(8, int(mesh.devices.size))
+    min_bucket = default_min_bucket()
+    if mesh is not None:
+        min_bucket = max(min_bucket, int(mesh.devices.size))
     circuit = compile_circuit(params, builder, root, min_bucket=min_bucket)
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))

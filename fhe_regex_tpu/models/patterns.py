@@ -26,7 +26,7 @@ class CompiledPattern:
     """AOT-compiled regex match program, cached per content length."""
 
     def __init__(self, pattern: str, params: Optional[Params] = None,
-                 min_bucket: int = 8, fold: str = "tree"):
+                 min_bucket: Optional[int] = None, fold: str = "tree"):
         self.pattern = pattern
         self.params = params or get_params()
         self.min_bucket = min_bucket
@@ -36,11 +36,13 @@ class CompiledPattern:
 
     def circuit(self, content_len: int) -> CompiledCircuit:
         if content_len not in self._circuits:
+            from fhe_regex_tpu.regex.executor import default_min_bucket
             builder, root = compile_match(content_len, self.pattern,
                                           num_blocks=self.params.num_blocks,
                                           fold=self.fold)
             self._circuits[content_len] = compile_circuit(
-                self.params, builder, root, min_bucket=self.min_bucket)
+                self.params, builder, root,
+                min_bucket=self.min_bucket or default_min_bucket())
         return self._circuits[content_len]
 
     def match(self, executor, ct_content: np.ndarray) -> np.ndarray:

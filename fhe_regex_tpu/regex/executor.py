@@ -63,6 +63,16 @@ class CompiledCircuit:
 MAX_LEVEL_BATCH = 256   # largest PBS batch one kernel launch handles (VMEM)
 
 
+def default_min_bucket() -> int:
+    """On TPU, pad every level to MAX_LEVEL_BATCH: the 866-step scan's fixed
+    per-step cost dominates at small widths anyway, and a single batch shape
+    means ONE compiled executable for every circuit level (the axon remote
+    Mosaic compiler costs minutes per distinct shape).  On CPU keep small
+    buckets — compiles are cheap and small batches much faster."""
+    import jax
+    return MAX_LEVEL_BATCH if jax.default_backend() == "tpu" else 8
+
+
 def _bucket(w: int, min_bucket: int = 8) -> int:
     b = min_bucket
     while b < w:
