@@ -232,17 +232,24 @@ class Executor:
                                 lv.in_slots[None] + offs[:, None], 0)
             out_idx = np.where(active, lv.out_idx[None] + offs,
                                lv.out_idx[None])
-            slab = self._level_jit(
-                slab, luts,
-                jnp.asarray(in_slots.reshape(-1, 3)),
-                jnp.asarray(np.broadcast_to(lv.in_coefs, (C,) + lv.in_coefs.shape)
-                            .reshape(-1, 3)),
-                jnp.asarray(np.broadcast_to(lv.consts, (C,) + lv.consts.shape)
-                            .reshape(-1)),
-                jnp.asarray(np.broadcast_to(lv.lut_idx, (C,) + lv.lut_idx.shape)
-                            .reshape(-1)),
-                jnp.asarray(out_idx.reshape(-1)),
-            )
+            t_slots = in_slots.reshape(-1, 3)
+            t_coefs = np.broadcast_to(lv.in_coefs,
+                                      (C,) + lv.in_coefs.shape).reshape(-1, 3)
+            t_consts = np.broadcast_to(lv.consts,
+                                       (C,) + lv.consts.shape).reshape(-1)
+            t_lut = np.broadcast_to(lv.lut_idx,
+                                    (C,) + lv.lut_idx.shape).reshape(-1)
+            t_out = out_idx.reshape(-1)
+            # the flattened batch C*W may exceed what one kernel launch
+            # handles in VMEM — chunk it
+            for c0 in range(0, t_out.shape[0], MAX_LEVEL_BATCH):
+                sl = slice(c0, c0 + MAX_LEVEL_BATCH)
+                slab = self._level_jit(
+                    slab, luts,
+                    jnp.asarray(t_slots[sl]), jnp.asarray(t_coefs[sl]),
+                    jnp.asarray(t_consts[sl]), jnp.asarray(t_lut[sl]),
+                    jnp.asarray(t_out[sl]),
+                )
         slab_host = np.asarray(slab).view(U32)
         out = np.zeros((C, params.num_blocks, n1), U32)
         val = circuit.root.val
