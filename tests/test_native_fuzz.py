@@ -1,0 +1,93 @@
+"""Randomized parity fuzzing: native C++ compiler vs Python builder.
+
+Generates random valid dialect patterns (all constructs: literals, escapes,
+classes, ranges, negation, anchors, alternation, groups, all repetition
+forms, /i) and asserts the two compilers produce identical op streams,
+counters and roots across fold modes and content lengths.
+"""
+
+import random
+
+import pytest
+
+from fhe_regex_tpu.regex import native
+from fhe_regex_tpu.regex.engine import compile_match
+from fhe_regex_tpu.regex.parser import parse
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native lib not built")
+
+
+def _atom(rng, depth):
+    r = rng.random()
+    if depth > 2 or r < 0.35:
+        return rng.choice("abcdexyz")
+    if r < 0.45:
+        return "\\" + rng.choice("a1.*^$")
+    if r < 0.55:
+        return "."
+    if r < 0.70:
+        inner = "".join(rng.choice("abcdwxyz")
+                        for _ in range(rng.randint(1, 3)))
+        neg = "^" if rng.random() < 0.3 else ""
+        if rng.random() < 0.5:
+            lo, hi = sorted(rng.choice("abcdef") for _ in range(2))
+            return f"[{neg}{lo}-{hi}]"
+        return f"[{neg}{inner}]"
+    return "(" + _regex(rng, depth + 1) + ")"
+
+
+def _factor(rng, depth):
+    a = _atom(rng, depth)
+    r = rng.random()
+    if r < 0.6:
+        return a
+    if r < 0.7:
+        return a + "?"
+    if r < 0.78:
+        return a + "*"
+    if r < 0.86:
+        return a + "+"
+    lo = rng.randint(0, 3)
+    if rng.random() < 0.5:
+        return a + "{%d}" % max(1, lo)
+    hi = lo + rng.randint(0, 2)
+    return a + "{%d,%d}" % (lo, hi)
+
+
+def _term(rng, depth):
+    return "".join(_factor(rng, depth) for _ in range(rng.randint(1, 4)))
+
+
+def _regex(rng, depth=0):
+    alts = [_term(rng, depth) for _ in range(rng.randint(1, 2 if depth else 3))]
+    return "|".join(alts)
+
+
+def _pattern(rng):
+    body = _regex(rng)
+    sof = "^" if rng.random() < 0.4 else ""
+    eof = "$" if rng.random() < 0.4 else ""
+    ci = "i" if rng.random() < 0.3 else ""
+    return f"/{sof}{body}{eof}/{ci}"
+
+
+@needs_native
+@pytest.mark.parametrize("seed", range(40))
+def test_fuzz_native_parity(seed):
+    rng = random.Random(seed)
+    pattern = _pattern(rng)
+    n = rng.randint(0, 7)
+    fold = rng.choice(["reference", "tree"])
+    try:
+        parse(pattern)
+    except ValueError:
+        pytest.skip(f"generator produced unparsable {pattern!r}")
+    try:
+        pb, proot = compile_match(n, pattern, fold=fold)
+    except (ValueError, RecursionError):
+        return  # e.g. empty-Seq patterns error identically in both
+    nb, nroot = native.compile_match_native(n, pattern, fold=fold)
+    assert (nb.ct_ops, nb.cache_hits) == (pb.ct_ops, pb.cache_hits), pattern
+    assert nroot.val == proot.val, pattern
+    assert nb.ops == pb.ops, pattern
