@@ -63,11 +63,13 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "jnp")
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
         os.environ.get("BENCH_MATMUL", "int8")]
+    drop_limbs = int(os.environ.get("BENCH_DROP_LIMBS", "0"))
 
     print(f"# params={params.name} B={B} iters={iters} backend={backend} "
           f"platform={jax.default_backend()}", file=sys.stderr)
     ck, sk = _get_keys(params)
-    dev_key = prepare_server_key(params, sk, backend, matmul_dtype=dtype)
+    dev_key = prepare_server_key(params, sk, backend, matmul_dtype=dtype,
+                                 drop_limbs=drop_limbs)
     pbs = make_pbs_fn(dev_key)
 
     msgs = np.arange(B) % 16

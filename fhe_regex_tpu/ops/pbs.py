@@ -202,7 +202,11 @@ def resolve_backend(backend: Optional[str]) -> str:
 
 def prepare_server_key(params: Params, server_key,
                        backend: Optional[str] = None,
-                       matmul_dtype=None) -> DeviceServerKey:
+                       matmul_dtype=None,
+                       drop_limbs: int = 0) -> DeviceServerKey:
+    """drop_limbs rounds the bootstrap key to skip its low 8-bit limbs — 25%
+    fewer blind-rotation MACs per limb at a bounded extra-noise cost
+    (flag-gated fast mode; see ops/pbs_pallas.prepare_bsk_pallas)."""
     backend = resolve_backend(backend)
     if backend == "jnp":
         return DeviceServerKey(
@@ -216,10 +220,12 @@ def prepare_server_key(params: Params, server_key,
         # accumulation) and run at 2x the bf16 rate on v5e — the default.
         return DeviceServerKey(
             params, backend,
-            bsk_quad=jnp.asarray(pp.prepare_bsk_pallas(params, server_key.bsk)),
+            bsk_quad=jnp.asarray(
+                pp.prepare_bsk_pallas(params, server_key.bsk, drop_limbs)),
             ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
             .astype(jnp.bfloat16),
             matmul_dtype=matmul_dtype or jnp.int8,
+            limbs=tuple(range(drop_limbs, 4)),
         )
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -231,10 +237,12 @@ def make_pbs_fn(dev_key: DeviceServerKey):
         return functools.partial(pbs_batch, params, dev_key.bsk, dev_key.ksk)
     if dev_key.backend == "pallas":
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_pallas
+        limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
 
         def fn(luts, lut_idx, cts):
             return pbs_batch_pallas(params, dev_key.bsk_quad, dev_key.ksk_limbs,
-                                    luts, lut_idx, dev_key.matmul_dtype, cts)
+                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
+                                    cts)
         return fn
     raise ValueError(dev_key.backend)
 

@@ -70,11 +70,23 @@ def _limbs_int8(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def prepare_bsk_pallas(params: Params, bsk: np.ndarray) -> np.ndarray:
+def prepare_bsk_pallas(params: Params, bsk: np.ndarray,
+                       drop_limbs: int = 0) -> np.ndarray:
     """bsk [n, (k+1)l, k+1, N] uint32 -> doubled+wrapped int8 limbs
-    [n, (k+1)l, k+1, 4, 2N + WIN]."""
+    [n, (k+1)l, k+1, 4, 2N + WIN].
+
+    drop_limbs > 0 rounds the key polynomials to multiples of 256^drop (the
+    low limbs become exactly zero and their matmuls can be skipped — 25%
+    fewer MACs per dropped limb).  The rounding error behaves as extra key
+    noise (~2^23.1 accumulated std for drop_limbs=1 at full parameters,
+    comparable to the mod-switch floor; qualify with
+    benchmarks/noise_check.py before enabling).
+    """
     N = params.polynomial_size
     g = bsk.view(np.int32).astype(np.int64)
+    if drop_limbs:
+        unit = 1 << (8 * drop_limbs)
+        g = ((g + unit // 2) >> (8 * drop_limbs)) << (8 * drop_limbs)
     doubled = np.concatenate([g, -g], axis=-1)                # [..., 2N]
     wrapped = np.concatenate([doubled, doubled[..., :WIN]], axis=-1)
     limbs = _limbs_int8((wrapped & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
@@ -92,7 +104,8 @@ def prepare_ksk_limbs(params: Params, ksk: np.ndarray) -> np.ndarray:
 
 
 def _ext_product_kernel(digits_ref, quad_ref, out_ref, acc_sc,
-                        bank_sc, *, tiles: int, width: int, matmul_dtype):
+                        bank_sc, *, tiles: int, width: int, matmul_dtype,
+                        limbs=(0, 1, 2, 3)):
     """grid = (c, r); r innermost; everything trace-time static.
 
     Per cell the kernel builds, for each limb, ONE "rolled bank"
@@ -120,7 +133,7 @@ def _ext_product_kernel(digits_ref, quad_ref, out_ref, acc_sc,
     int8_path = matmul_dtype == jnp.int8
 
     total = acc_sc[:, :]
-    for l in range(4):
+    for l in limbs:
         x = jnp.broadcast_to(quad_ref[l:l + 1, :], (TILE, width))
         for s in range(7):                                     # log2(TILE)
             rolled = pltpu.roll(x, 1 << s, axis=1)
@@ -167,7 +180,8 @@ def _group_quad(params: Params, quad_i):
     return g.reshape(rows * k1 * 8, W)
 
 
-def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
+def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype,
+                          limbs=(0, 1, 2, 3)):
     """acc + GGSW_i (x) diff  for the whole batch.
 
     digits [B, (k+1)l, N] int, quad_grp [(k+1)l*(k+1)*8, W] int32 (from
@@ -186,7 +200,7 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
     grid = (k1, rows)
     prod = pl.pallas_call(
         functools.partial(_ext_product_kernel, tiles=tiles, width=W,
-                          matmul_dtype=matmul_dtype),
+                          matmul_dtype=matmul_dtype, limbs=limbs),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, N), lambda c, r: (0, r),
@@ -210,7 +224,7 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype):
 
 
 def blind_rotate_pallas(params: Params, bsk_quad, luts, lut_idx, cts_ms,
-                        matmul_dtype=jnp.bfloat16):
+                        matmul_dtype=jnp.bfloat16, limbs=(0, 1, 2, 3)):
     k, N, n, l = (params.glwe_dimension, params.polynomial_size,
                   params.lwe_dimension, params.pbs_level)
     B = cts_ms.shape[0]
@@ -227,7 +241,7 @@ def blind_rotate_pallas(params: Params, bsk_quad, luts, lut_idx, cts_ms,
         digits = decompose(diff, params.pbs_base_log, l)        # [l, B, k+1, N]
         d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, (k + 1) * l, N)
         grp = _group_quad(params, quad_i)
-        acc = external_product_step(params, d, grp, acc, matmul_dtype)
+        acc = external_product_step(params, d, grp, acc, matmul_dtype, limbs)
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc0, (cts_ms[:, :n].T, bsk_quad))
@@ -255,9 +269,11 @@ def key_switch_mxu(params: Params, ksk_limbs, big):
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def pbs_batch_pallas(params: Params, bsk_quad, ksk_limbs, luts, lut_idx, matmul_dtype, cts):
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def pbs_batch_pallas(params: Params, bsk_quad, ksk_limbs, luts, lut_idx,
+                     matmul_dtype, limbs, cts):
     ms = mod_switch(params, cts)
-    acc = blind_rotate_pallas(params, bsk_quad, luts, lut_idx, ms, matmul_dtype)
+    acc = blind_rotate_pallas(params, bsk_quad, luts, lut_idx, ms,
+                              matmul_dtype, limbs)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)

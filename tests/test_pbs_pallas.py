@@ -41,3 +41,20 @@ def test_pallas_pbs_bitexact_zero_noise(keys):
 def test_pallas_pbs_noisy(noisy_keys):
     _compare(TEST_PARAMS_NOISY, noisy_keys, [0, 4, 9, 15, 2, 6, 11, 13],
              lambda x: (x * 5 + 1) % 16)
+
+
+def test_pallas_drop_limbs_fast_mode(noisy_keys):
+    """drop_limbs=1 skips the low-limb matmuls; rounding noise stays far
+    inside the margin on these parameters, so results still decrypt."""
+    P = TEST_PARAMS_NOISY
+    ck, sk = noisy_keys
+    msgs = [0, 3, 8, 15, 5, 9, 12, 7]
+    cts = np.stack([lwe.encrypt_lwe(P, ck.lwe_key, m, ck.rng) for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(P, lambda x: 15 - x)]).view(np.int32))
+    dev = prepare_server_key(P, sk, "pallas", drop_limbs=1)
+    assert dev.limbs == (1, 2, 3)
+    out = make_pbs_fn(dev)(luts, jnp.zeros(8, jnp.int32),
+                           jnp.asarray(cts.view(np.int32)))
+    o = np.asarray(out).view(np.uint32)
+    got = [lwe.decrypt_lwe(P, ck.lwe_key, o[i]) for i in range(8)]
+    assert got == [15 - m for m in msgs]
