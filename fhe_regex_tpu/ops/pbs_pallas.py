@@ -77,10 +77,14 @@ def prepare_bsk_pallas(params: Params, bsk: np.ndarray,
 
     drop_limbs > 0 rounds the key polynomials to multiples of 256^drop (the
     low limbs become exactly zero and their matmuls can be skipped — 25%
-    fewer MACs per dropped limb).  The rounding error behaves as extra key
-    noise (~2^23.1 accumulated std for drop_limbs=1 at full parameters,
-    comparable to the mod-switch floor; qualify with
-    benchmarks/noise_check.py before enabling).
+    fewer MACs per dropped limb).  WARNING — measured on hardware and
+    confirmed by the golden model: rounding errors in the GGSW *mask*
+    polynomials are amplified ~sqrt(N/2) by the GLWE key in the phase
+    (total ~2^27.5 at full parameters vs the 2^26 margin), so drop_limbs=1
+    FAILS correctness at TPU_MESSAGE_2_CARRY_2.  Safe only where
+    sqrt(866 * N/2) * 74 * sqrt(6 * N * B^2/12) stays well under delta/2
+    (e.g. the small test sets).  Kept as an experimental knob; a body-only
+    variant (no key amplification, ~12.5% MACs) is the viable follow-up.
     """
     N = params.polynomial_size
     g = bsk.view(np.int32).astype(np.int64)
