@@ -22,7 +22,7 @@ per 128x128 MXU tile, no HBM traffic for W.
 
 Stage 1 of each step (per-instance negacyclic rotation by a~_i, gadget
 decomposition) is plain XLA (gathers + bit ops on the VPU); the whole
-742-step ladder runs under one lax.scan.
+n-step ladder (866 at full parameters) runs under one lax.scan.
 """
 
 from __future__ import annotations

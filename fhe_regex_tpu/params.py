@@ -32,7 +32,7 @@ Noise rationale (32-bit torus, q = 2^32, Delta = q/32 = 2^27):
     which is *more* relative noise, hence at least as secure for k*N=2048.
   - pbs decomposition: base_log=7, level=3  (digits in (-64, 64] — chosen so
     digit x limb products are exactly representable on the MXU, see
-    ops/pbs_pallas.py).  Decomp error std ~2^18.7 over 742 CMUXs: negligible
+    ops/pbs_pallas.py).  Decomp error std ~2^18.7 over the n CMUXs: negligible
     vs the modulus-switch floor (~2^22.5), same structure as the reference.
   - ks  decomposition: base_log=3, level=5 (as the reference set).
 
@@ -138,7 +138,7 @@ class Params:
         lks = self.ks_level
         Bks = float(self.ks_base)
 
-        # Blind-rotation noise (per full 742-step rotation)
+        # Blind-rotation noise (per full n-step rotation)
         var_bsk = n * l * (k + 1) * N * (B * B / 12.0) * (self.glwe_noise_std ** 2)
         eps_dec = q / (2.0 * (B ** l))                 # gadget remainder
         var_dec = n * (1 + k * N) * (eps_dec ** 2) / 12.0
