@@ -28,7 +28,7 @@ n-step ladder (866 at full parameters) runs under one lax.scan.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, PartitionSpec as P
 
 from fhe_regex_tpu.ops.pbs import DeviceServerKey, make_pbs_fn

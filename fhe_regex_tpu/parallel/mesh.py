@@ -19,7 +19,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from fhe_regex_tpu.ops.pbs import DeviceServerKey, make_pbs_fn
 
