@@ -58,7 +58,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
-    B = int(os.environ.get("BENCH_BATCH", "256" if on_tpu else "8"))
+    B = int(os.environ.get("BENCH_BATCH", "1024" if on_tpu else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
     backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "jnp")
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
