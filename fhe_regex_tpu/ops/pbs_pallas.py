@@ -185,10 +185,11 @@ def _group_quad(params: Params, quad_i):
 
 
 def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype,
-                          limbs=(0, 1, 2, 3)):
+                          limbs=(0, 1, 2, 3), flat_digits=False):
     """acc + GGSW_i (x) diff  for the whole batch.
 
-    digits [B, (k+1)l, N] int, quad_grp [(k+1)l*(k+1)*8, W] int32 (from
+    digits [B, (k+1)l, N] int (or [B, (k+1)l*N] already in contraction
+    layout when flat_digits), quad_grp [(k+1)l*(k+1)*8, W] int32 (from
     _group_quad), acc [B, k+1, N] int32 -> [B, k+1, N] int32.
     """
     k1 = params.glwe_dimension + 1
@@ -224,6 +225,78 @@ def external_product_step(params: Params, digits, quad_grp, acc, matmul_dtype,
     return acc + prod.reshape(B, k1, N)
 
 
+# ---------------- stage 1: rotate + decompose kernel ----------------
+
+
+def _stage1_kernel(acc_ref, avals_ref, digits_ref, *, base_log: int,
+                   level: int, torus_bits: int = 32):
+    """Per-instance negacyclic rotation by a~ + gadget decomposition, fused.
+
+    Rotation = log2(2N) static negacyclic rolls selected per row by the bits
+    of a~ (a VALUE, so no traced indexing).  Emits the digits of
+    rot(acc)-acc, most-significant first, as [rows, level*N].
+
+    acc_ref    [TB, N] int32 — acc rows (instance-major, poly interleaved)
+    avals_ref  [TB, 1] int32 — a~ per row (in [0, 2N))
+    digits_ref [TB, level*N] int8/int32
+    """
+    x = acc_ref[:, :]
+    a = avals_ref[:, :]
+    N = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rot = x
+    for s in range(N.bit_length()):                  # shifts 1..N
+        k = 1 << s
+        if k < N:
+            r = pltpu.roll(rot, k, axis=1)
+            r = jnp.where(col < k, -r, r)            # negacyclic wrap
+        else:                                        # shift by N == negate
+            r = -rot
+        bit = ((a >> s) & 1) == 1
+        rot = jnp.where(bit, r, rot)
+    diff = rot - x
+
+    shift = torus_bits - base_log * level
+    u = pltpu.bitcast(diff, jnp.uint32)
+    state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
+    B_ = 1 << base_log
+    half = B_ // 2
+    digs = []
+    for _ in range(level):
+        d = state & (B_ - 1)
+        d = jnp.where(d >= half, d - B_, d)
+        state = (state - d) >> base_log
+        digs.append(d)
+    for j, d in enumerate(reversed(digs)):           # most significant first
+        digits_ref[:, j * N:(j + 1) * N] = d.astype(digits_ref.dtype)
+
+
+def stage1_digits(params: Params, acc, a_batch):
+    """acc [B, k+1, N] int32, a_batch [B] in [0,2N) -> digits [B, rows*N]
+    (row order (comp, level), the external-product contraction layout)."""
+    B, k1, N = acc.shape
+    level = params.pbs_level
+    B2 = B * k1
+    TB = min(128, B2)
+    d_dtype = jnp.int8 if B2 % 32 == 0 and TB % 32 == 0 else I32
+    acc2 = acc.reshape(B2, N)
+    avals = jnp.repeat(a_batch, k1)[:, None].astype(I32)
+    dig = pl.pallas_call(
+        functools.partial(_stage1_kernel, base_log=params.pbs_base_log,
+                          level=level, torus_bits=params.torus_bits),
+        grid=(B2 // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, level * N), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B2, level * N), d_dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(acc2, avals)
+    return dig.reshape(B, k1 * level * N)
+
+
 # ---------------- full pipeline ----------------
 
 
@@ -240,12 +313,12 @@ def blind_rotate_pallas(params: Params, bsk_quad, luts, lut_idx, cts_ms,
 
     def step(acc, xs):
         a_i, quad_i = xs
-        rotated = negacyclic_rotate_batch(acc, a_i)
-        diff = rotated - acc
-        digits = decompose(diff, params.pbs_base_log, l)        # [l, B, k+1, N]
-        d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, (k + 1) * l, N)
+        # fused rotate+decompose kernel (stage 1), then the MXU external
+        # product; digits arrive pre-flattened in contraction layout
+        d2 = stage1_digits(params, acc, a_i)
         grp = _group_quad(params, quad_i)
-        acc = external_product_step(params, d, grp, acc, matmul_dtype, limbs)
+        acc = external_product_step(params, d2, grp, acc, matmul_dtype, limbs,
+                                    flat_digits=True)
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc0, (cts_ms[:, :n].T, bsk_quad))
