@@ -22,7 +22,7 @@ from fhe_regex_tpu.crypto.keys import (
     server_key_from_client,
 )
 from fhe_regex_tpu.crypto import lwe as _lwe
-from fhe_regex_tpu.regex.engine import compile_match
+from fhe_regex_tpu.regex.engine import BranchBudgetExceeded, compile_match
 from fhe_regex_tpu.regex.executor import CompiledCircuit, Executor, compile_circuit
 from fhe_regex_tpu.ops.pbs import prepare_server_key, resolve_backend
 
@@ -41,6 +41,7 @@ __all__ = [
     "has_match_many",
     "decrypt",
     "compile_match",
+    "BranchBudgetExceeded",
     "compile_circuit",
     "Executor",
 ]
@@ -88,7 +89,8 @@ def _executor_for(server_key: ServerKey, backend: Optional[str],
 def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
               backend: Optional[str] = None, mesh=None,
               fold: str = "reference",
-              engine: Optional[str] = None) -> np.ndarray:
+              engine: Optional[str] = None,
+              branch_budget: Optional[int] = None) -> np.ndarray:
     """Encrypted match: does `pattern` match the encrypted content?
 
     Mirrors ``engine::has_match`` (engine.rs:8-42): returns a radix ciphertext
@@ -98,7 +100,9 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     replaces the reference's sequential OR fold with a log-depth tree
     (same decrypted result, far lower latency); ``engine`` selects the
     circuit compiler ('python' / 'native' C++ / None = native if built —
-    byte-exact parity is test-enforced).
+    byte-exact parity is test-enforced); ``branch_budget`` bounds variant
+    expansion (exponential for nested quantifiers) with a clean
+    BranchBudgetExceeded instead of unbounded compile time.
     """
     from fhe_regex_tpu.regex.executor import default_min_bucket
 
@@ -109,10 +113,12 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     if engine == "native":
         from fhe_regex_tpu.regex.native import compile_match_native
         builder, root = compile_match_native(
-            len(ct_content), pattern, num_blocks=params.num_blocks, fold=fold)
+            len(ct_content), pattern, num_blocks=params.num_blocks, fold=fold,
+            branch_budget=branch_budget)
     else:
         builder, root = compile_match(len(ct_content), pattern,
-                                      num_blocks=params.num_blocks, fold=fold)
+                                      num_blocks=params.num_blocks, fold=fold,
+                                      branch_budget=branch_budget)
     min_bucket = default_min_bucket()
     if mesh is not None:
         min_bucket = max(min_bucket, int(mesh.devices.size))
@@ -128,7 +134,8 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
 
 def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
                    backend: Optional[str] = None, fold: str = "tree",
-                   engine: Optional[str] = None) -> np.ndarray:
+                   engine: Optional[str] = None,
+                   branch_budget: Optional[int] = None) -> np.ndarray:
     """Match one pattern against many equal-length encrypted contents.
 
     The serving fast path: the compiled circuit is shared and every level's
@@ -144,10 +151,12 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
     if engine == "native":
         from fhe_regex_tpu.regex.native import compile_match_native
         builder, root = compile_match_native(
-            contents.shape[1], pattern, num_blocks=params.num_blocks, fold=fold)
+            contents.shape[1], pattern, num_blocks=params.num_blocks, fold=fold,
+            branch_budget=branch_budget)
     else:
         builder, root = compile_match(contents.shape[1], pattern,
-                                      num_blocks=params.num_blocks, fold=fold)
+                                      num_blocks=params.num_blocks, fold=fold,
+                                      branch_budget=branch_budget)
     circuit = compile_circuit(params, builder, root)
     executor = _executor_for(server_key, backend)
     result = executor.run_many(circuit, contents)

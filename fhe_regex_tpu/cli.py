@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", default=None, choices=["python", "native"],
                     help="circuit compiler (default: native C++ if built)")
     ap.add_argument("--seed", type=int, default=None, help="keygen seed")
+    ap.add_argument("--branch-budget", type=int, default=None,
+                    help="cap on circuit branch expansion (clean error "
+                         "instead of unbounded compile time)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -67,8 +70,15 @@ def main(argv=None) -> int:
         return 2
 
     log.info("applying regex..")
-    ct_res = has_match(server_key, ct_content, args.pattern,
-                       backend=args.backend, fold=args.fold, engine=args.engine)
+    from fhe_regex_tpu import BranchBudgetExceeded
+    try:
+        ct_res = has_match(server_key, ct_content, args.pattern,
+                           backend=args.backend, fold=args.fold,
+                           engine=args.engine,
+                           branch_budget=args.branch_budget)
+    except BranchBudgetExceeded as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
     res = decrypt(client_key, ct_res)
     print(f"res: {res}")
     return 0

@@ -227,6 +227,19 @@ def prepare_server_key(params: Params, server_key,
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
         )
+    if backend == "pallas-fused":
+        from fhe_regex_tpu.ops import pbs_pallas as pp
+        # single-launch blind rotation: the accumulator stays in VMEM across
+        # all n CMUX steps (see pbs_pallas.blind_rotate_fused)
+        return DeviceServerKey(
+            params, backend,
+            bsk_fused=jnp.asarray(
+                pp.prepare_bsk_fused(params, server_key.bsk, drop_limbs)),
+            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
+            .astype(jnp.bfloat16),
+            matmul_dtype=matmul_dtype or jnp.int8,
+            limbs=tuple(range(drop_limbs, 4)),
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -243,6 +256,15 @@ def make_pbs_fn(dev_key: DeviceServerKey):
             return pbs_batch_pallas(params, dev_key.bsk_quad, dev_key.ksk_limbs,
                                     luts, lut_idx, dev_key.matmul_dtype, limbs,
                                     cts)
+        return fn
+    if dev_key.backend == "pallas-fused":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
+        limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+
+        def fn(luts, lut_idx, cts):
+            return pbs_batch_fused(params, dev_key.bsk_fused, dev_key.ksk_limbs,
+                                   luts, lut_idx, dev_key.matmul_dtype, limbs,
+                                   cts)
         return fn
     raise ValueError(dev_key.backend)
 

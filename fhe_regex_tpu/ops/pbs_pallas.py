@@ -297,6 +297,195 @@ def stage1_digits(params: Params, acc, a_batch):
     return dig.reshape(B, k1 * level * N)
 
 
+# ---------------- fused whole-blind-rotation kernel ----------------
+#
+# One pallas_call runs ALL n CMUX steps: grid (n, k+1), accumulator lives in
+# the OUTPUT ref in VMEM for the entire rotation (never round-trips HBM
+# between steps), the bootstrap key streams in per-(step, component) blocks
+# via the BlockSpec index_map, and stage 1 (per-instance rotation + gadget
+# decomposition) runs in-kernel under pl.when(c == 0) with all-static
+# slicing (the axon Mosaic compiler rejects traced in-kernel ref indices).
+# vs the two-kernel-per-step pipeline this removes ~866 kernel launches and
+# ~100 MB/step of acc/digits HBM glue traffic.
+
+
+def prepare_bsk_fused(params: Params, bsk: np.ndarray,
+                      drop_limbs: int = 0) -> np.ndarray:
+    """bsk -> int8 [(n * (k+1)) * (rows*8), 2N+WIN] for the fused kernel.
+
+    Block row groups are keyed (step i, out component c): group i*(k+1)+c
+    holds the (k+1)*l decomposition rows for output poly c, 8 sublanes per
+    row (4 limbs + 4 zero padding, keeping each poly's limbs 8-aligned).
+    """
+    k1 = params.glwe_dimension + 1
+    rows = params.pbs_level * k1
+    quad = prepare_bsk_pallas(params, bsk, drop_limbs)   # [n, rows, k1, 4, W]
+    n, _, _, _, W = quad.shape
+    q = np.transpose(quad, (0, 2, 1, 3, 4))              # [n, k1, rows, 4, W]
+    q = np.concatenate([q, np.zeros_like(q)], axis=3)    # pad limbs 4 -> 8
+    return np.ascontiguousarray(q.reshape(n * k1 * rows * 8, W))
+
+
+def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
+                           digits_sc, bank_sc, *, k1: int, level: int,
+                           base_log: int, torus_bits: int, tiles: int,
+                           width: int, tb: int, matmul_dtype,
+                           limbs=(0, 1, 2, 3)):
+    """grid = (n, k1), c innermost.  out_ref [B, k1*N] IS the accumulator.
+
+    Cell (i, 0): stage 1 — for each component (static loop), negacyclic-
+    rotate out_ref's component slice by a~_i (log2(2N) conditional rolls,
+    selected per row by the bits of the a~ VALUE), gadget-decompose the
+    diff, store int8 digits in digits_sc (row order (comp, level), most-
+    significant digit first, matching the quad row order).
+    Every cell (i, c): rolled-bank external product of all rows' digits
+    against GGSW polys (i, ., c); the result adds into out_ref[:, c*N:...]
+    under a per-component pl.when (static slices only).
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    N = tiles * TILE
+    B = out_ref.shape[0]
+    rows = k1 * level
+    int8_path = matmul_dtype == jnp.int8
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        out_ref[:, :] = acc0_ref[:, :]
+
+    # ---- stage 1: rotate + decompose both components into digits_sc ----
+    @pl.when(c == 0)
+    def _():
+        shift = torus_bits - base_log * level
+        B_ = 1 << base_log
+        half = B_ // 2
+        for comp in range(k1):
+            for b0 in range(0, B, tb):
+                x = out_ref[b0:b0 + tb, comp * N:(comp + 1) * N]
+                a = avals_ref[0, b0:b0 + tb, :]                  # [tb, 1]
+                col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+                rot = x
+                for s in range(N.bit_length()):                  # shifts 1..N
+                    kk = 1 << s
+                    if kk < N:
+                        r_ = pltpu.roll(rot, kk, axis=1)
+                        r_ = jnp.where(col < kk, -r_, r_)        # negacyclic
+                    else:                                        # N == negate
+                        r_ = -rot
+                    rot = jnp.where(((a >> s) & 1) == 1, r_, rot)
+                diff = rot - x
+                u = pltpu.bitcast(diff, jnp.uint32)
+                state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
+                digs = []
+                for _j in range(level):
+                    d = state & (B_ - 1)
+                    d = jnp.where(d >= half, d - B_, d)
+                    state = (state - d) >> base_log
+                    digs.append(d)
+                for j, d in enumerate(reversed(digs)):           # MSD first
+                    r0 = (comp * level + j) * N
+                    digits_sc[b0:b0 + tb, r0:r0 + N] = d.astype(digits_sc.dtype)
+
+    # ---- external product: all rows' digits x GGSW(i, ., c) ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+    total = None
+    for l in limbs:
+        acc_l = None
+        for r in range(rows):
+            x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
+                                 .astype(I32), (TILE, width))
+            for s in range(7):                                   # log2(TILE)
+                rolled = pltpu.roll(x, 1 << s, axis=1)
+                x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+            bank_sc[:, :] = x
+            x = bank_sc[:, :]
+            for tau in range(tiles):
+                a_vals = [(mu - tau - 1) % (2 * tiles) for mu in range(tiles)]
+                runs = [[a_vals[0], a_vals[0]]]
+                for a_ in a_vals[1:]:
+                    if a_ == runs[-1][1] + 1:
+                        runs[-1][1] = a_
+                    else:
+                        runs.append([a_, a_])
+                parts = [x[:, TILE * lo + TILE: TILE * hi + 2 * TILE]
+                         for lo, hi in runs]
+                T = (parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=1)).astype(matmul_dtype)
+                d_tau = digits_sc[:, r * N + tau * TILE:
+                                  r * N + (tau + 1) * TILE].astype(matmul_dtype)
+                if int8_path:
+                    part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
+                else:
+                    part = jax.lax.dot(d_tau, T,
+                                       preferred_element_type=jnp.float32)
+                acc_l = part if acc_l is None else acc_l + part
+        contrib = acc_l.astype(I32) << (8 * l)
+        total = contrib if total is None else total + contrib
+
+    for X in range(k1):
+        @pl.when(c == X)
+        def _(X=X):
+            out_ref[:, X * N:(X + 1) * N] = (
+                out_ref[:, X * N:(X + 1) * N] + total)
+
+
+def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
+                       matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3)):
+    """Whole blind rotation in ONE kernel launch (see module notes above)."""
+    k, N, n, level = (params.glwe_dimension, params.polynomial_size,
+                      params.lwe_dimension, params.pbs_level)
+    k1 = k + 1
+    rows = k1 * level
+    W = bsk_fused.shape[-1]
+    B = cts_ms.shape[0]
+    tb = min(256, B)
+    assert B % tb == 0, f"fused kernel needs batch % {tb} == 0, got {B}"
+
+    lut = luts[lut_idx]
+    acc0 = jnp.zeros((B, k1, N), dtype=I32)
+    acc0 = acc0.at[:, k, :].set(lut)
+    acc0 = negacyclic_rotate_batch(acc0, (2 * N - cts_ms[:, n]) & (2 * N - 1))
+    acc0 = acc0.reshape(B, k1 * N)
+
+    avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
+
+    acc = pl.pallas_call(
+        functools.partial(_fused_blindrot_kernel, k1=k1, level=level,
+                          base_log=params.pbs_base_log,
+                          torus_bits=params.torus_bits, tiles=N // TILE,
+                          width=W, tb=tb, matmul_dtype=matmul_dtype,
+                          limbs=limbs),
+        grid=(n, k1),
+        in_specs=[
+            pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows * 8, W), lambda i, c, k1=k1: (i * k1 + c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, rows * N), jnp.int8),
+                        pltpu.VMEM((TILE, W), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu"),
+    )(acc0, avals, bsk_fused)
+    return acc.reshape(B, k1, N)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
+                    matmul_dtype, limbs, cts):
+    ms = mod_switch(params, cts)
+    acc = blind_rotate_fused(params, bsk_fused, luts, lut_idx, ms,
+                             matmul_dtype, limbs)
+    big = sample_extract(params, acc)
+    return key_switch_mxu(params, ksk_limbs, big)
+
+
 # ---------------- full pipeline ----------------
 
 

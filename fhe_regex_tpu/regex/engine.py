@@ -20,7 +20,7 @@ identical to the reference.
 
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 from fhe_regex_tpu.regex import parser as P
 from fhe_regex_tpu.regex.circuit import CircuitBuilder, Node
@@ -30,31 +30,78 @@ LazyExecution = Callable[[CircuitBuilder], Node]
 Branch = Tuple[LazyExecution, int]
 
 
-def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
+class BranchBudgetExceeded(ValueError):
+    """Branch enumeration exceeded the configured budget.
+
+    The reference's variant expansion (engine.rs:45-214, inherited here) is
+    exponential for nested quantifiers (e.g. ``(a|b)*`` shapes); a budget
+    turns unbounded compile time into a clean, early error for serving.
+    """
+
+
+class BranchBudget:
+    """Counts lazy-branch constructions during enumeration.
+
+    One unit per lazy closure created (leaves, epsilon variants, NOT wraps
+    and AND-chained pairs) — the same metric the native C++ compiler charges
+    per ``Lazy`` node, so both engines accept/reject identically.
+    """
+
+    __slots__ = ("limit", "used")
+
+    def __init__(self, limit: Optional[int]):
+        self.limit = limit
+        self.used = 0
+
+    def charge(self, n: int = 1) -> None:
+        if self.limit is None:
+            return
+        self.used += n
+        if self.used > self.limit:
+            raise BranchBudgetExceeded(
+                f"pattern expands to more than {self.limit} circuit branch "
+                f"nodes; raise branch_budget or simplify the pattern")
+
+
+_NO_BUDGET = BranchBudget(None)
+
+
+def build_branches(content_len: int, re: P.RegExpr, c_pos: int,
+                   budget: BranchBudget = _NO_BUDGET) -> List[Branch]:
     if isinstance(re, P.SOF):
-        return [(lambda b: b.ct_true(), c_pos)] if c_pos == 0 else []
+        if c_pos != 0:
+            return []
+        budget.charge()
+        return [(lambda b: b.ct_true(), c_pos)]
     if isinstance(re, P.EOF):
-        return [(lambda b: b.ct_true(), c_pos)] if c_pos == content_len else []
+        if c_pos != content_len:
+            return []
+        budget.charge()
+        return [(lambda b: b.ct_true(), c_pos)]
 
     if c_pos >= content_len:
         return []
 
     if isinstance(re, P.Char):
         c = re.c
+        budget.charge()
         return [(lambda b, at=c_pos, c=c: b.ct_eq(at, c), c_pos + 1)]
 
     if isinstance(re, P.AnyChar):
+        budget.charge()
         return [(lambda b: b.ct_true(), c_pos + 1)]
 
     if isinstance(re, P.Not):
+        sub = build_branches(content_len, re.not_re, c_pos, budget)
+        budget.charge(len(sub))
         return [
             (lambda b, br=branch: b.ct_not(br(b)), pos)
-            for branch, pos in build_branches(content_len, re.not_re, c_pos)
+            for branch, pos in sub
         ]
 
     if isinstance(re, P.Either):
-        res = build_branches(content_len, re.l_re, c_pos)
-        res.extend(build_branches(content_len, re.r_re, c_pos))
+        res = build_branches(content_len, re.l_re, c_pos, budget)
+        res.extend(build_branches(content_len, re.r_re, c_pos, budget))
         return res
 
     if isinstance(re, P.Between):
@@ -63,6 +110,7 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
             ge = b.ct_ge(at, frm)     # strict > (Q1)
             le = b.ct_le(at, to)
             return b.ct_and(ge, le)
+        budget.charge()
         return [(between, c_pos + 1)]
 
     if isinstance(re, P.Range):
@@ -72,6 +120,7 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
             for c in cs[1:]:
                 res = b.ct_or(res, b.ct_eq(at, c))
             return res
+        budget.charge()
         return [(range_, c_pos + 1)]
 
     if isinstance(re, P.Repeated):
@@ -79,28 +128,34 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
         at_most = re.at_most if re.at_most is not None else content_len - c_pos
         if at_least > at_most:
             return []
+        if at_least == 0:
+            budget.charge()
         groups: List[List[Branch]] = [
             [(lambda b: b.ct_true(), c_pos)] if at_least == 0 else [],
             build_branches(
                 content_len,
                 P.Seq(tuple([re.repeat_re] * max(1, at_least))),
                 c_pos,
+                budget,
             ),
         ]
         for _ in range(at_least + 1, at_most + 1):
             nxt: List[Branch] = []
             for branch_prev, prev_pos in groups[-1]:
-                for branch_x, x_pos in build_branches(content_len, re.repeat_re, prev_pos):
+                for branch_x, x_pos in build_branches(content_len, re.repeat_re,
+                                                      prev_pos, budget):
                     def chained(b, bp=branch_prev, bx=branch_x):
                         res_prev = bp(b)
                         res_x = bx(b)
                         return b.ct_and(res_prev, res_x)
+                    budget.charge()
                     nxt.append((chained, x_pos))
             groups.append(nxt)
         return [br for grp in groups for br in grp]
 
     if isinstance(re, P.Optional_):
-        res = build_branches(content_len, re.opt_re, c_pos)
+        res = build_branches(content_len, re.opt_re, c_pos, budget)
+        budget.charge()
         res.append((lambda b: b.ct_true(), c_pos))
         return res
 
@@ -109,15 +164,17 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
             # the reference indexes re_xs[0] unconditionally and panics on an
             # empty Seq (Q13, engine.rs:189) — surface it as a clear error
             raise ValueError("empty sequence in pattern (e.g. bare /^/) is not executable")
-        continuations = build_branches(content_len, re.re_xs[0], c_pos)
+        continuations = build_branches(content_len, re.re_xs[0], c_pos, budget)
         for re_x in re.re_xs[1:]:
             nxt: List[Branch] = []
             for branch_prev, prev_pos in continuations:
-                for branch_x, x_pos in build_branches(content_len, re_x, prev_pos):
+                for branch_x, x_pos in build_branches(content_len, re_x,
+                                                      prev_pos, budget):
                     def chained(b, bp=branch_prev, bx=branch_x):
                         res_prev = bp(b)
                         res_x = bx(b)
                         return b.ct_and(res_prev, res_x)
+                    budget.charge()
                     nxt.append((chained, x_pos))
             continuations = nxt
         return continuations
@@ -126,7 +183,8 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int) -> List[Branch]:
 
 
 def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
-                  fold: str = "reference") -> Tuple[CircuitBuilder, Node]:
+                  fold: str = "reference",
+                  branch_budget: Optional[int] = None) -> Tuple[CircuitBuilder, Node]:
     """Parse + enumerate + OR-fold into one symbolic result bit
     (mirrors has_match's compile+execute structure, engine.rs:8-42).
 
@@ -135,13 +193,18 @@ def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
     fold='tree': log-depth pairwise OR tree — identical decrypted result
     (OR is associative and every op re-bootstraps) and far fewer levels,
     the right choice for latency (SURVEY.md §7).
+
+    branch_budget bounds the variant expansion (which is exponential for
+    nested quantifiers) — BranchBudgetExceeded instead of unbounded compile
+    time; None (default) keeps the reference's unbounded semantics.
     """
     if fold not in ("reference", "tree"):
         raise ValueError(f"unknown fold mode {fold!r}")
     re = parse(pattern)
+    budget = BranchBudget(branch_budget)
     branches: List[LazyExecution] = []
     for i in range(content_len):
-        branches.extend(b for b, _ in build_branches(content_len, re, i))
+        branches.extend(b for b, _ in build_branches(content_len, re, i, budget))
 
     # 'tree' uses the optimizing builder: associative and/or chains are
     # collected flat and materialized as balanced 3-ary LUT trees —

@@ -38,7 +38,7 @@ def _load():
         lib.circuit_compile.restype = ctypes.POINTER(ctypes.c_int64)
         lib.circuit_compile.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ]
         lib.circuit_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
@@ -119,8 +119,14 @@ class NativeCompiled:
 
 
 def compile_match_native(content_len: int, pattern: str, num_blocks: int = 4,
-                         fold: str = "reference") -> Tuple[NativeCompiled, Node]:
-    """Native counterpart of engine.compile_match (same return shape)."""
+                         fold: str = "reference",
+                         branch_budget: Optional[int] = None
+                         ) -> Tuple[NativeCompiled, Node]:
+    """Native counterpart of engine.compile_match (same return shape).
+
+    branch_budget: same metric and accept/reject behavior as the Python
+    engine (one unit per lazy branch node); None = unlimited.
+    """
     lib = _load()
     if lib is None:
         raise RuntimeError("native/libfheregex.so not built (make -C native)")
@@ -128,9 +134,15 @@ def compile_match_native(content_len: int, pattern: str, num_blocks: int = 4,
     mode = 1 if fold == "tree" else 0
     blob = lib.circuit_compile(
         ast.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        len(ast), content_len, num_blocks, mode)
+        len(ast), content_len, num_blocks, mode,
+        -1 if branch_budget is None else branch_budget)
     try:
         n_ops = int(blob[0])
+        if n_ops < 0:
+            from fhe_regex_tpu.regex.engine import BranchBudgetExceeded
+            raise BranchBudgetExceeded(
+                f"pattern expands to more than {branch_budget} circuit branch "
+                f"nodes; raise branch_budget or simplify the pattern")
         ct_ops, cache_hits = int(blob[1]), int(blob[2])
         root = BitVal(const=int(blob[3]), sign=int(blob[4]),
                       slot=(None if int(blob[4]) == 0 else int(blob[5])))

@@ -394,6 +394,18 @@ struct Lazy {
     LazyP l, r;
 };
 
+// Branch budget: one unit per Lazy node allocated — the same metric the
+// Python engine charges per lazy closure, so both engines accept/reject
+// a (pattern, content_len, budget) triple identically.
+struct BranchBudgetExceeded {};
+struct Budget {
+    int64_t remaining;      // < 0: unlimited
+    void charge() {
+        if (remaining < 0) return;
+        if (--remaining < 0) throw BranchBudgetExceeded{};
+    }
+};
+
 NodeV run_lazy(Builder& bld, const Lazy* z) {
     switch (z->kind) {
         case Lazy::TRUE: return bld.ct_true();
@@ -424,51 +436,54 @@ NodeV run_lazy(Builder& bld, const Lazy* z) {
     return bld.ct_false();
 }
 
-LazyP mk(Lazy::Kind k) { auto p = std::make_shared<Lazy>(); p->kind = k; return p; }
+LazyP mk(Lazy::Kind k, Budget& bu) {
+    bu.charge();
+    auto p = std::make_shared<Lazy>(); p->kind = k; return p;
+}
 
 using Branch = std::pair<LazyP, int>;
 
 void build_branches(int content_len, const Ast* re, int c_pos,
-                    std::vector<Branch>& out) {
+                    std::vector<Branch>& out, Budget& bu) {
     switch (re->tag) {
         case 0:  // SOF
-            if (c_pos == 0) out.push_back({mk(Lazy::TRUE), c_pos});
+            if (c_pos == 0) out.push_back({mk(Lazy::TRUE, bu), c_pos});
             return;
         case 1:  // EOF
-            if (c_pos == content_len) out.push_back({mk(Lazy::TRUE), c_pos});
+            if (c_pos == content_len) out.push_back({mk(Lazy::TRUE, bu), c_pos});
             return;
         default: break;
     }
     if (c_pos >= content_len) return;   // Q15 prune
     switch (re->tag) {
         case 2: {  // CHAR
-            auto z = mk(Lazy::EQ); z->at = c_pos; z->a = re->a;
+            auto z = mk(Lazy::EQ, bu); z->at = c_pos; z->a = re->a;
             out.push_back({z, c_pos + 1});
             return;
         }
         case 3:   // ANY
-            out.push_back({mk(Lazy::TRUE), c_pos + 1});
+            out.push_back({mk(Lazy::TRUE, bu), c_pos + 1});
             return;
         case 6: {  // NOT
             std::vector<Branch> sub;
-            build_branches(content_len, re->kids[0], c_pos, sub);
+            build_branches(content_len, re->kids[0], c_pos, sub, bu);
             for (auto& [z, p] : sub) {
-                auto w = mk(Lazy::NOTW); w->l = z;
+                auto w = mk(Lazy::NOTW, bu); w->l = z;
                 out.push_back({w, p});
             }
             return;
         }
         case 7:   // EITHER
-            build_branches(content_len, re->kids[0], c_pos, out);
-            build_branches(content_len, re->kids[1], c_pos, out);
+            build_branches(content_len, re->kids[0], c_pos, out, bu);
+            build_branches(content_len, re->kids[1], c_pos, out, bu);
             return;
         case 4: {  // BETWEEN
-            auto z = mk(Lazy::BETWEEN); z->at = c_pos; z->a = re->a; z->b = re->b;
+            auto z = mk(Lazy::BETWEEN, bu); z->at = c_pos; z->a = re->a; z->b = re->b;
             out.push_back({z, c_pos + 1});
             return;
         }
         case 5: {  // RANGE
-            auto z = mk(Lazy::RANGE); z->at = c_pos; z->cs = re->cs;
+            auto z = mk(Lazy::RANGE, bu); z->at = c_pos; z->cs = re->cs;
             out.push_back({z, c_pos + 1});
             return;
         }
@@ -478,21 +493,21 @@ void build_branches(int content_len, const Ast* re, int c_pos,
             if (at_least > at_most) return;
             std::vector<std::vector<Branch>> groups;
             groups.emplace_back();
-            if (at_least == 0) groups.back().push_back({mk(Lazy::TRUE), c_pos});
+            if (at_least == 0) groups.back().push_back({mk(Lazy::TRUE, bu), c_pos});
             // seed: Seq of max(1, at_least) aliases of the repeated sub-AST
             Ast seed;
             seed.tag = 10;
             seed.kids.assign(std::max(1, at_least), re->kids[0]);
             std::vector<Branch> g;
-            build_branches(content_len, &seed, c_pos, g);
+            build_branches(content_len, &seed, c_pos, g, bu);
             groups.push_back(std::move(g));
             for (int rep = at_least + 1; rep <= at_most; rep++) {
                 std::vector<Branch> nxt;
                 for (auto& [bp, pp] : groups.back()) {
                     std::vector<Branch> ext;
-                    build_branches(content_len, re->kids[0], pp, ext);
+                    build_branches(content_len, re->kids[0], pp, ext, bu);
                     for (auto& [bx, px] : ext) {
-                        auto w = mk(Lazy::AND); w->l = bp; w->r = bx;
+                        auto w = mk(Lazy::AND, bu); w->l = bp; w->r = bx;
                         nxt.push_back({w, px});
                     }
                 }
@@ -503,21 +518,21 @@ void build_branches(int content_len, const Ast* re, int c_pos,
             return;
         }
         case 8: {  // OPTIONAL
-            build_branches(content_len, re->kids[0], c_pos, out);
-            out.push_back({mk(Lazy::TRUE), c_pos});
+            build_branches(content_len, re->kids[0], c_pos, out, bu);
+            out.push_back({mk(Lazy::TRUE, bu), c_pos});
             return;
         }
         case 10: {  // SEQ
             if (re->kids.empty()) return;  // Q13: error upstream in Python
             std::vector<Branch> cont;
-            build_branches(content_len, re->kids[0], c_pos, cont);
+            build_branches(content_len, re->kids[0], c_pos, cont, bu);
             for (size_t i = 1; i < re->kids.size(); i++) {
                 std::vector<Branch> nxt;
                 for (auto& [bp, pp] : cont) {
                     std::vector<Branch> ext;
-                    build_branches(content_len, re->kids[i], pp, ext);
+                    build_branches(content_len, re->kids[i], pp, ext, bu);
                     for (auto& [bx, px] : ext) {
-                        auto w = mk(Lazy::AND); w->l = bp; w->r = bx;
+                        auto w = mk(Lazy::AND, bu); w->l = bp; w->r = bx;
                         nxt.push_back({w, px});
                     }
                 }
@@ -546,17 +561,26 @@ extern "C" {
 // root_const, root_sign, root_slot, num_content_slots] then n_ops records of
 // 10 int64: in_slots[3], in_coefs[3], const, lut_kind, lut_c, out_slot, level
 // -> 11 int64 each.
+// branch_budget < 0 is unlimited; on exceed the blob header is [-1, ...].
 int64_t* circuit_compile(const int32_t* ast, int32_t ast_len,
                          int32_t content_len, int32_t num_blocks,
-                         int32_t mode /*0 strict, 1 opt*/) {
+                         int32_t mode /*0 strict, 1 opt*/,
+                         int64_t branch_budget) {
     const int32_t* p = ast;
     Arena arena;
     const Ast* re = parse_ast(p, arena);
     (void)ast_len;
 
+    Budget bu{branch_budget < 0 ? -1 : branch_budget};
     std::vector<Branch> branches;
-    for (int i = 0; i < content_len; i++)
-        build_branches(content_len, re, i, branches);
+    try {
+        for (int i = 0; i < content_len; i++)
+            build_branches(content_len, re, i, branches, bu);
+    } catch (const BranchBudgetExceeded&) {
+        int64_t* out = (int64_t*)std::calloc(7, sizeof(int64_t));
+        out[0] = -1;
+        return out;
+    }
 
     Builder bld(content_len, num_blocks, mode);
     NodeV res{};
