@@ -60,7 +60,8 @@ def main():
     params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
     B = int(os.environ.get("BENCH_BATCH", "1024" if on_tpu else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
-    backend = os.environ.get("BENCH_BACKEND", "pallas" if on_tpu else "jnp")
+    backend = os.environ.get("BENCH_BACKEND",
+                             "pallas-fused" if on_tpu else "jnp")
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
         os.environ.get("BENCH_MATMUL", "int8")]
     drop_limbs = int(os.environ.get("BENCH_DROP_LIMBS", "0"))
