@@ -74,7 +74,7 @@ def trivial_encrypt_str(params: Params, s: str) -> np.ndarray:
 
 def _executor_for(server_key: ServerKey, backend: Optional[str],
                   mesh=None) -> Executor:
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, server_key.params)
     cache = getattr(server_key, "_executor_cache", None)
     if cache is None:
         cache = {}

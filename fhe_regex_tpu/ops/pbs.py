@@ -194,8 +194,11 @@ class DeviceServerKey:
             setattr(self, k, v)
 
 
-def resolve_backend(backend: Optional[str]) -> str:
+def resolve_backend(backend: Optional[str],
+                    params: Optional[Params] = None) -> str:
     if backend is None:
+        if params is not None and params.torus_bits == 64:
+            return "jnp64"
         # pallas-fused: the whole blind rotation in ONE kernel launch
         # (measured 835 vs 709 bootstraps/s/chip for the per-step pipeline)
         return "pallas-fused" if jax.default_backend() == "tpu" else "jnp"
@@ -209,7 +212,7 @@ def prepare_server_key(params: Params, server_key,
     """drop_limbs rounds the bootstrap key to skip its low 8-bit limbs — 25%
     fewer blind-rotation MACs per limb at a bounded extra-noise cost
     (flag-gated fast mode; see ops/pbs_pallas.prepare_bsk_pallas)."""
-    backend = resolve_backend(backend)
+    backend = resolve_backend(backend, params)
     if backend == "jnp":
         return DeviceServerKey(
             params, backend,
@@ -242,6 +245,17 @@ def prepare_server_key(params: Params, server_key,
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
         )
+    if backend == "jnp64":
+        # 64-bit torus (the reference width, SURVEY.md N1) as int32 limb
+        # pairs; requires a 64-bit parameter set
+        from fhe_regex_tpu.ops import pbs64
+        if params.torus_bits != 64:
+            raise ValueError("backend 'jnp64' needs a 64-bit parameter set")
+        return DeviceServerKey(
+            params, backend,
+            bsk8=jnp.asarray(pbs64.prepare_bsk64(params, server_key.bsk)),
+            ksk8=jnp.asarray(pbs64.prepare_ksk64(params, server_key.ksk)),
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -267,6 +281,17 @@ def make_pbs_fn(dev_key: DeviceServerKey):
             return pbs_batch_fused(params, dev_key.bsk_fused, dev_key.ksk_limbs,
                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
                                    cts)
+        return fn
+    if dev_key.backend == "jnp64":
+        from fhe_regex_tpu.ops import pbs64
+
+        def fn(luts, lut_idx, cts):
+            # luts [L, N, 2] / cts [B, n+1, 2] int32 limb pairs
+            out_lo, out_hi = pbs64.pbs_batch64(
+                params, dev_key.bsk8, dev_key.ksk8,
+                luts[..., 0], luts[..., 1], lut_idx,
+                cts[..., 0], cts[..., 1])
+            return jnp.stack([out_lo, out_hi], axis=-1)
         return fn
     raise ValueError(dev_key.backend)
 

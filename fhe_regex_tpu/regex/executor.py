@@ -63,6 +63,41 @@ class CompiledCircuit:
 MAX_LEVEL_BATCH = 256   # largest PBS batch one kernel launch handles (VMEM)
 
 
+def _np_to_limbs(a: np.ndarray, torus_bits: int) -> np.ndarray:
+    """uint32 -> int32 view; uint64 -> int32 limb pairs [..., 2] (LE)."""
+    if torus_bits == 32:
+        return np.ascontiguousarray(a).view(np.int32)
+    v = np.ascontiguousarray(a.astype(np.uint64))
+    return v.view(np.int32).reshape(a.shape + (2,))
+
+
+def _limbs_to_np(a: np.ndarray, torus_bits: int) -> np.ndarray:
+    """Inverse of _np_to_limbs on host arrays."""
+    if torus_bits == 32:
+        return np.ascontiguousarray(a).view(U32)
+    return np.ascontiguousarray(a).view(np.uint64).reshape(a.shape[:-1])
+
+
+def _assemble_root(params: Params, val: BitVal,
+                   ct_u: "np.ndarray | None") -> np.ndarray:
+    """Radix result ciphertext from the root bit value (any torus width).
+
+    A compile-time-constant root yields a *trivial* ciphertext, matching
+    Q10 (e.g. /./ returns a noiseless ct in the reference)."""
+    n1 = params.lwe_dimension + 1
+    dt = U32 if params.torus_bits == 32 else np.uint64
+    out = np.zeros((params.num_blocks, n1), dt)
+    if val.sign == 0:
+        out[0, -1] = dt(val.const * params.delta)
+        return out
+    with np.errstate(over="ignore"):
+        blk = ct_u.astype(dt) if val.sign == 1 else (dt(0) - ct_u.astype(dt))
+        blk = blk.copy()
+        blk[-1] = dt(blk[-1] + dt(val.const * params.delta))
+    out[0] = blk
+    return out
+
+
 def default_min_bucket() -> int:
     """On TPU, pad every level to MAX_LEVEL_BATCH: the 866-step scan's fixed
     per-step cost dominates at small widths anyway, and a single batch shape
@@ -88,14 +123,16 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
         if op.lut not in lut_ids:
             lut_ids[op.lut] = len(lut_ids)
     luts = (np.stack([make_lut_poly(params, lut_fn(k)) for k in lut_ids])
-            if lut_ids else np.zeros((1, params.polynomial_size), U32))
+            if lut_ids else np.zeros((1, params.polynomial_size),
+                                     U32 if params.torus_bits == 32
+                                     else np.uint64))
     # pad the LUT table to a FIXED row count and the slab to a multiple of
     # 1024 so circuits share XLA executable shapes — otherwise every
     # pattern/content-length recompiles each level kernel.  128 covers every
     # possible byte-wise LUT (4 nibble-op kinds x 16 constants + 5 gates).
     lut_rows = 128 if luts.shape[0] <= 128 else _bucket(luts.shape[0], 128)
     luts = np.concatenate(
-        [luts, np.zeros((lut_rows - luts.shape[0], luts.shape[1]), U32)])
+        [luts, np.zeros((lut_rows - luts.shape[0], luts.shape[1]), luts.dtype)])
 
     by_level: Dict[int, List[PbsOp]] = {}
     for op in builder.ops:
@@ -154,10 +191,40 @@ class Executor:
 
     def _run_level(self, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
                    lv_lut_idx, lv_out_idx):
-        delta = self.params.delta
-        gathered = slab[lv_in_slots]                           # [W, 3, n+1]
-        x = jnp.sum(lv_in_coefs[:, :, None] * gathered, axis=1)
-        x = x.at[:, -1].add(lv_consts * jnp.int32(delta))
+        params = self.params
+        gathered = slab[lv_in_slots]                       # [W, 3, n+1(, 2)]
+        if params.torus_bits == 32:
+            x = jnp.sum(lv_in_coefs[:, :, None] * gathered, axis=1)
+            x = x.at[:, -1].add(lv_consts * jnp.int32(params.delta))
+        else:
+            # 64-bit torus: int32 limb pairs with carry-exact arithmetic.
+            # All affine coefficients are sign x {1,2,4} (bit_ins scales),
+            # so the multiply is a selected static shift + negation.
+            from fhe_regex_tpu.ops import pbs64 as p64
+            W, _, n1, _ = gathered.shape
+            xlo = jnp.zeros((W, n1), jnp.int32)
+            xhi = jnp.zeros((W, n1), jnp.int32)
+            for i in range(gathered.shape[1]):
+                c = lv_in_coefs[:, i][:, None]
+                lo, hi = gathered[:, i, :, 0], gathered[:, i, :, 1]
+                l1, h1 = p64.shl64(lo, hi, 1)
+                l2, h2 = p64.shl64(lo, hi, 2)
+                ac = jnp.abs(c)
+                plo = jnp.where(ac == 2, l1, jnp.where(ac == 4, l2, lo))
+                phi = jnp.where(ac == 2, h1, jnp.where(ac == 4, h2, hi))
+                nlo, nhi = p64.neg64(plo, phi)
+                plo = jnp.where(c < 0, nlo, plo)
+                phi = jnp.where(c < 0, nhi, phi)
+                plo = jnp.where(c == 0, 0, plo)
+                phi = jnp.where(c == 0, 0, phi)
+                xlo, xhi = p64.add64(xlo, xhi, plo, phi)
+            delta_shift = params.torus_bits - (
+                params.message_bits + params.carry_bits + 1)
+            clo, chi = p64.i32_to_64_shifted(lv_consts, delta_shift)
+            blo, bhi = p64.add64(xlo[:, -1], xhi[:, -1], clo, chi)
+            xlo = xlo.at[:, -1].set(blo)
+            xhi = xhi.at[:, -1].set(bhi)
+            x = jnp.stack([xlo, xhi], axis=-1)
         outs = self.pbs(luts, jnp.maximum(lv_lut_idx, 0), x)
         return slab.at[lv_out_idx].set(outs)
 
@@ -178,12 +245,14 @@ class Executor:
 
         params = self.params
         n1 = params.lwe_dimension + 1
-        slab_np = np.zeros((circuit.num_slots, n1), np.int32)
+        tb = params.torus_bits
+        shape = (circuit.num_slots, n1) if tb == 32 else (circuit.num_slots, n1, 2)
+        slab_np = np.zeros(shape, np.int32)
         if content_blocks.size:
-            flat = content_blocks.reshape(-1, n1).view(np.int32)
+            flat = _np_to_limbs(content_blocks.reshape(-1, n1), tb)
             slab_np[1:1 + flat.shape[0]] = flat
         slab = jnp.asarray(slab_np)
-        luts = jnp.asarray(circuit.luts.view(np.int32))
+        luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
         stats = []
         for lv in circuit.levels:
             t0 = time.time() if profile else 0.0
@@ -214,14 +283,16 @@ class Executor:
         params = self.params
         C = contents.shape[0]
         n1 = params.lwe_dimension + 1
+        tb = params.torus_bits
         S = circuit.num_slots
-        slab_np = np.zeros((C * S, n1), np.int32)
+        shape = (C * S, n1) if tb == 32 else (C * S, n1, 2)
+        slab_np = np.zeros(shape, np.int32)
         if contents.size:
-            flat = contents.reshape(C, -1, n1).view(np.int32)
+            flat = _np_to_limbs(contents.reshape(C, -1, n1), tb)
             for ci in range(C):
                 slab_np[ci * S + 1: ci * S + 1 + flat.shape[1]] = flat[ci]
         slab = jnp.asarray(slab_np)
-        luts = jnp.asarray(circuit.luts.view(np.int32))
+        luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
         offs = (np.arange(C, dtype=np.int32) * S)[:, None]
         for lv in circuit.levels:
             # tile the level across contents with per-content slot offsets;
@@ -250,33 +321,20 @@ class Executor:
                     jnp.asarray(t_consts[sl]), jnp.asarray(t_lut[sl]),
                     jnp.asarray(t_out[sl]),
                 )
-        slab_host = np.asarray(slab).view(U32)
-        out = np.zeros((C, params.num_blocks, n1), U32)
+        slab_host = np.asarray(slab)
+        dt = U32 if tb == 32 else np.uint64
+        out = np.zeros((C, params.num_blocks, n1), dt)
         val = circuit.root.val
         for ci in range(C):
-            if val.sign == 0:
-                out[ci, 0, -1] = U32(val.const * params.delta)
-            else:
-                ct = slab_host[ci * S + val.slot].astype(np.int64)
-                blk = val.sign * ct
-                blk[-1] += val.const * params.delta
-                out[ci, 0] = (blk % (1 << 32)).astype(U32)
+            ct_u = (None if val.sign == 0
+                    else _limbs_to_np(slab_host[ci * S + val.slot], tb))
+            out[ci] = _assemble_root(params, val, ct_u)
         return out
 
     def _finalize(self, circuit: CompiledCircuit, slab) -> np.ndarray:
-        """Assemble the radix result ciphertext from the root bit value.
-
-        A compile-time-constant root yields a *trivial* ciphertext, matching
-        Q10 (e.g. /./ returns a noiseless ct in the reference)."""
         params = self.params
         val: BitVal = circuit.root.val
-        n1 = params.lwe_dimension + 1
-        out = np.zeros((params.num_blocks, n1), U32)
         if val.sign == 0:
-            out[0, -1] = U32(val.const * params.delta)
-            return out
-        ct = np.asarray(slab[val.slot]).view(U32).astype(np.int64)
-        block0 = val.sign * ct
-        block0[-1] += val.const * params.delta
-        out[0] = (block0 % (1 << 32)).astype(U32)
-        return out
+            return _assemble_root(params, val, None)
+        ct_u = _limbs_to_np(np.asarray(slab[val.slot]), params.torus_bits)
+        return _assemble_root(params, val, ct_u)
