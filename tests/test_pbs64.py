@@ -139,3 +139,16 @@ def test_has_match_64bit_end_to_end(keys64):
     ct = encrypt_str(ck, "abc")
     assert decrypt(ck, has_match(sk, ct, "/ab/")) == 1
     assert decrypt(ck, has_match(sk, ct, "/ac/")) == 0
+
+
+def test_reference_vectors_64bit(keys64):
+    """All 25 reference bit-exactness vectors (engine.rs:256-280) at the
+    reference's own torus width, through the 64-bit device pipeline."""
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from tests.test_engine import REFERENCE_VECTORS
+
+    ck, sk = keys64
+    for content, pattern, exp in REFERENCE_VECTORS:
+        ct = trivial_encrypt_str(P64, content)
+        res = has_match(sk, ct, pattern, fold="tree")
+        assert decrypt(ck, res) == exp, (content, pattern)
