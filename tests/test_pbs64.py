@@ -152,3 +152,16 @@ def test_reference_vectors_64bit(keys64):
         ct = trivial_encrypt_str(P64, content)
         res = has_match(sk, ct, pattern, fold="tree")
         assert decrypt(ck, res) == exp, (content, pattern)
+
+
+def test_has_match_64bit_sharded(keys64):
+    """64-bit pipeline with the level batch sharded over the 8-device mesh."""
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from fhe_regex_tpu.parallel.mesh import make_mesh
+
+    ck, sk = keys64
+    mesh = make_mesh(8)
+    ct = trivial_encrypt_str(P64, "cdaabc")
+    assert decrypt(ck, has_match(sk, ct, "/a*bc/", mesh=mesh, fold="tree")) == 1
+    ct2 = trivial_encrypt_str(P64, "cdbc")
+    assert decrypt(ck, has_match(sk, ct2, "/a+bc/", mesh=mesh, fold="tree")) == 0
