@@ -312,7 +312,18 @@ class Executor:
                                     (C,) + lv.lut_idx.shape).reshape(-1)
             t_out = out_idx.reshape(-1)
             # the flattened batch C*W may exceed what one kernel launch
-            # handles in VMEM — chunk it
+            # handles in VMEM — chunk it; pad the tail chunk to the SAME
+            # MAX_LEVEL_BATCH shape so every launch reuses the one compiled
+            # executable (padded rows gather slot 0 and write the trash slot)
+            total = t_out.shape[0]
+            pad = (-total) % MAX_LEVEL_BATCH
+            if pad:
+                t_slots = np.concatenate([t_slots, np.zeros((pad, 3), np.int32)])
+                t_coefs = np.concatenate([t_coefs, np.zeros((pad, 3), np.int32)])
+                t_consts = np.concatenate([t_consts, np.zeros(pad, np.int32)])
+                t_lut = np.concatenate([t_lut, np.full(pad, -1, np.int32)])
+                t_out = np.concatenate(
+                    [t_out, np.full(pad, circuit.num_slots - 1, np.int32)])
             for c0 in range(0, t_out.shape[0], MAX_LEVEL_BATCH):
                 sl = slice(c0, c0 + MAX_LEVEL_BATCH)
                 slab = self._level_jit(
