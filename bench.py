@@ -58,10 +58,17 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
-    B = int(os.environ.get("BENCH_BATCH", "1024" if on_tpu else "8"))
+    if "BENCH_PARAMS" in os.environ:
+        from fhe_regex_tpu.params import get_params
+        params = get_params(os.environ["BENCH_PARAMS"])
+    is64 = params.torus_bits == 64
+    B = int(os.environ.get(
+        "BENCH_BATCH", ("512" if is64 else "1024") if on_tpu else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
-    backend = os.environ.get("BENCH_BACKEND",
-                             "pallas-fused" if on_tpu else "jnp")
+    backend = os.environ.get(
+        "BENCH_BACKEND",
+        ("pallas64" if is64 else "pallas-fused") if on_tpu
+        else ("jnp64" if is64 else "jnp"))
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
         os.environ.get("BENCH_MATMUL", "int8")]
     drop_limbs = int(os.environ.get("BENCH_DROP_LIMBS", "0"))
@@ -73,14 +80,16 @@ def main():
                                  drop_limbs=drop_limbs)
     pbs = make_pbs_fn(dev_key)
 
+    from fhe_regex_tpu.regex.executor import _limbs_to_np, _np_to_limbs
+
     msgs = np.arange(B) % 16
     cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, int(m), ck.rng)
                     for m in msgs])
-    luts = jnp.asarray(
-        np.stack([make_lut_poly(params, lambda x: (x * 3 + 1) % 16)])
-        .view(np.int32))
+    luts = jnp.asarray(_np_to_limbs(
+        np.stack([make_lut_poly(params, lambda x: (x * 3 + 1) % 16)]),
+        params.torus_bits))
     lut_idx = jnp.zeros(B, jnp.int32)
-    ctsj = jnp.asarray(cts.view(np.int32))
+    ctsj = jnp.asarray(_np_to_limbs(cts, params.torus_bits))
 
     t0 = time.time()
     out = pbs(luts, lut_idx, ctsj)
@@ -95,7 +104,7 @@ def main():
     pbs_per_sec = iters * B / dt
 
     # correctness gate: the timed computation must decrypt right
-    o = np.asarray(out).view(np.uint32)
+    o = _limbs_to_np(np.asarray(out), params.torus_bits)
     got = np.array([lwe.decrypt_lwe(params, ck.lwe_key, o[i]) for i in range(B)])
     want = (msgs * 3 + 1) % 16
     n_bad = int((got != want).sum())

@@ -198,7 +198,7 @@ def resolve_backend(backend: Optional[str],
                     params: Optional[Params] = None) -> str:
     if backend is None:
         if params is not None and params.torus_bits == 64:
-            return "jnp64"
+            return ("pallas64" if jax.default_backend() == "tpu" else "jnp64")
         # pallas-fused: the whole blind rotation in ONE kernel launch
         # (measured 835 vs 709 bootstraps/s/chip for the per-step pipeline)
         return "pallas-fused" if jax.default_backend() == "tpu" else "jnp"
@@ -256,6 +256,18 @@ def prepare_server_key(params: Params, server_key,
             bsk8=jnp.asarray(pbs64.prepare_bsk64(params, server_key.bsk)),
             ksk8=jnp.asarray(pbs64.prepare_ksk64(params, server_key.ksk)),
         )
+    if backend == "pallas64":
+        # fused single-launch 64-bit blind rotation (reference torus width
+        # at TPU speed; see pbs_pallas.blind_rotate_fused64)
+        from fhe_regex_tpu.ops import pbs64
+        from fhe_regex_tpu.ops import pbs_pallas as pp
+        if params.torus_bits != 64:
+            raise ValueError("backend 'pallas64' needs a 64-bit parameter set")
+        return DeviceServerKey(
+            params, backend,
+            bsk8f=jnp.asarray(pp.prepare_bsk_fused64(params, server_key.bsk)),
+            ksk8=jnp.asarray(pbs64.prepare_ksk64(params, server_key.ksk)),
+        )
     raise ValueError(f"unknown backend {backend!r}")
 
 
@@ -293,7 +305,80 @@ def make_pbs_fn(dev_key: DeviceServerKey):
                 cts[..., 0], cts[..., 1])
             return jnp.stack([out_lo, out_hi], axis=-1)
         return fn
+    if dev_key.backend == "pallas64":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64
+
+        def fn(luts, lut_idx, cts):
+            out_lo, out_hi = pbs_batch_fused64(
+                params, dev_key.bsk8f, dev_key.ksk8,
+                luts[..., 0], luts[..., 1], lut_idx,
+                cts[..., 0], cts[..., 1])
+            return jnp.stack([out_lo, out_hi], axis=-1)
+        return fn
     raise ValueError(dev_key.backend)
+
+
+def key_arrays(dev_key: DeviceServerKey) -> tuple:
+    """The device arrays a PBS backend needs, as an explicit tuple.
+
+    Callers that re-jit around the PBS (the level executor) MUST pass these
+    as jit ARGUMENTS: a closed-over key becomes an embedded HLO constant,
+    and a multi-hundred-MB literal overflows the remote compiler's request
+    limit (observed HTTP 413 on axon at 362 MB)."""
+    names = {
+        "jnp": ("bsk", "ksk"),
+        "pallas": ("bsk_quad", "ksk_limbs"),
+        "pallas-fused": ("bsk_fused", "ksk_limbs"),
+        "jnp64": ("bsk8", "ksk8"),
+        "pallas64": ("bsk8f", "ksk8"),
+    }[dev_key.backend]
+    return tuple(getattr(dev_key, n) for n in names)
+
+
+def make_pbs_core(dev_key: DeviceServerKey):
+    """(key_args, luts, lut_idx, cts) -> cts_out with keys as arguments
+    (see key_arrays).  Pair with ``key_arrays(dev_key)``."""
+    params = dev_key.params
+    backend = dev_key.backend
+    if backend == "jnp":
+        def core(key, luts, lut_idx, cts):
+            return pbs_batch(params, key[0], key[1], luts, lut_idx, cts)
+        return core
+    if backend == "pallas":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_pallas
+        limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+
+        def core(key, luts, lut_idx, cts):
+            return pbs_batch_pallas(params, key[0], key[1], luts, lut_idx,
+                                    dev_key.matmul_dtype, limbs, cts)
+        return core
+    if backend == "pallas-fused":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
+        limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+
+        def core(key, luts, lut_idx, cts):
+            return pbs_batch_fused(params, key[0], key[1], luts, lut_idx,
+                                   dev_key.matmul_dtype, limbs, cts)
+        return core
+    if backend == "jnp64":
+        from fhe_regex_tpu.ops import pbs64
+
+        def core(key, luts, lut_idx, cts):
+            out_lo, out_hi = pbs64.pbs_batch64(
+                params, key[0], key[1], luts[..., 0], luts[..., 1],
+                lut_idx, cts[..., 0], cts[..., 1])
+            return jnp.stack([out_lo, out_hi], axis=-1)
+        return core
+    if backend == "pallas64":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64
+
+        def core(key, luts, lut_idx, cts):
+            out_lo, out_hi = pbs_batch_fused64(
+                params, key[0], key[1], luts[..., 0], luts[..., 1],
+                lut_idx, cts[..., 0], cts[..., 1])
+            return jnp.stack([out_lo, out_hi], axis=-1)
+        return core
+    raise ValueError(backend)
 
 
 # -- legacy helpers (kept for the kernel unit tests) --

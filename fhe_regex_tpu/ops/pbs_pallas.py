@@ -486,6 +486,226 @@ def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
     return key_switch_mxu(params, ksk_limbs, big)
 
 
+# ---------------- fused 64-bit blind rotation (reference torus width) -----
+#
+# Same single-launch architecture as _fused_blindrot_kernel, on a 64-bit
+# torus held as (lo, hi) int32 limb pairs (see ops/pbs64.py for the limb
+# algebra; this kernel implements it with in-kernel carry arithmetic).
+# GGSW polys carry 8 real int8 limbs (doubled to (g, -g) mod 2^64 BEFORE
+# the split); gadget digits (|d| < 2^(base_log-1)) split into nd int8 limbs
+# in-kernel; each (digit-limb, key-limb) pair is one int8 MXU pass and the
+# partials fold into the (lo, hi) accumulator at weight 2^{8(dl+j)} with
+# explicit carries.  Weights >= 2^64 vanish mod 2^64 and are skipped.
+
+
+def prepare_bsk_fused64(params: Params, bsk: np.ndarray) -> np.ndarray:
+    """bsk [n, (k+1)l, k+1, N] uint64 -> int8 [(n*(k+1))*(rows*8), 2N+WIN].
+
+    Group i*(k+1)+c holds, for output component c of step i, the rows*8
+    (row r, key-limb j) bank polynomials over the wrapped doubled window.
+    """
+    from fhe_regex_tpu.ops.pbs64 import prepare_bsk64
+    k1 = params.glwe_dimension + 1
+    rows = params.pbs_level * k1
+    limbs = prepare_bsk64(params, bsk)            # [n, rows, k1, 2N, 8]
+    n = limbs.shape[0]
+    wrapped = np.concatenate([limbs, limbs[..., :WIN, :]], axis=-2)
+    q = np.transpose(wrapped, (0, 2, 1, 4, 3))    # [n, k1, rows, 8, W]
+    return np.ascontiguousarray(q.reshape(n * k1 * rows * 8, -1))
+
+
+def _fused_blindrot64_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
+                             digits_sc, bank_sc, *, k1: int, level: int,
+                             base_log: int, tiles: int, width: int, tb: int,
+                             nd: int):
+    """grid = (n, k1), c innermost.  out_ref [B, k1*2*N] IS the accumulator,
+    column group (comp c', limb m) at (c'*2 + m)*N (m=0 lo, m=1 hi)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    N = tiles * TILE
+    B = out_ref.shape[0]
+    rows = k1 * level
+    U = jnp.uint32
+
+    def u(x):
+        return pltpu.bitcast(x, U)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        out_ref[:, :] = acc0_ref[:, :]
+
+    # ---- stage 1 on limb pairs: rotate, diff, decompose, digit limbs ----
+    @pl.when(c == 0)
+    def _():
+        shift = 64 - base_log * level            # >= 33 (asserted outside)
+        B_ = 1 << base_log
+        half = B_ // 2
+        for comp in range(k1):
+            for b0 in range(0, B, tb):
+                lo = out_ref[b0:b0 + tb, (comp * 2) * N:(comp * 2 + 1) * N]
+                hi = out_ref[b0:b0 + tb, (comp * 2 + 1) * N:(comp * 2 + 2) * N]
+                a = avals_ref[0, b0:b0 + tb, :]                 # [tb, 1]
+                col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+                rlo, rhi = lo, hi
+                for s in range(N.bit_length()):
+                    kk = 1 << s
+                    if kk < N:
+                        tlo = pltpu.roll(rlo, kk, axis=1)
+                        thi = pltpu.roll(rhi, kk, axis=1)
+                        nlo = -tlo
+                        nhi = -thi - (tlo != 0).astype(I32)
+                        tlo = jnp.where(col < kk, nlo, tlo)
+                        thi = jnp.where(col < kk, nhi, thi)
+                    else:                                       # N == negate
+                        tlo = -rlo
+                        thi = -rhi - (rlo != 0).astype(I32)
+                    bit = ((a >> s) & 1) == 1
+                    rlo = jnp.where(bit, tlo, rlo)
+                    rhi = jnp.where(bit, thi, rhi)
+                # diff = rot + (-acc), 64-bit with carry
+                nlo = -lo
+                nhi = -hi - (lo != 0).astype(I32)
+                dlo = rlo + nlo
+                carry = (u(dlo) < u(rlo)).astype(I32)
+                dhi = rhi + nhi + carry
+                # balanced digits live in the top base_log*level bits: hi-only
+                hi2 = dhi + (1 << (shift - 1 - 32))
+                state = (u(hi2) >> (shift - 32)).astype(I32)
+                digs = []
+                for _j in range(level):
+                    d = state & (B_ - 1)
+                    d = jnp.where(d >= half, d - B_, d)
+                    state = (state - d) >> base_log
+                    digs.append(d)
+                for j, d in enumerate(reversed(digs)):          # MSD first
+                    r = comp * level + j
+                    v = d
+                    for dl in range(nd):
+                        dd = ((v + 128) & 255) - 128
+                        c0 = (r * nd + dl) * N
+                        digits_sc[b0:b0 + tb, c0:c0 + N] = dd.astype(jnp.int8)
+                        v = (v - dd) >> 8
+
+    # ---- external product: (digit-limb, key-limb) int8 MXU passes ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+    tlo = jnp.zeros((B, N), I32)
+    thi = jnp.zeros((B, N), I32)
+    for r in range(rows):
+        for j in range(8):                                      # key limbs
+            x = jnp.broadcast_to(quad_ref[r * 8 + j:r * 8 + j + 1, :]
+                                 .astype(I32), (TILE, width))
+            for s in range(7):
+                rolled = pltpu.roll(x, 1 << s, axis=1)
+                x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+            bank_sc[:, :] = x
+            x = bank_sc[:, :]
+            for dl in range(nd):                                # digit limbs
+                w = 8 * (dl + j)
+                if w >= 64:
+                    continue
+                acc_p = None
+                for tau in range(tiles):
+                    a_vals = [(mu - tau - 1) % (2 * tiles)
+                              for mu in range(tiles)]
+                    runs = [[a_vals[0], a_vals[0]]]
+                    for a_ in a_vals[1:]:
+                        if a_ == runs[-1][1] + 1:
+                            runs[-1][1] = a_
+                        else:
+                            runs.append([a_, a_])
+                    parts = [x[:, TILE * lo_ + TILE: TILE * hi_ + 2 * TILE]
+                             for lo_, hi_ in runs]
+                    T = (parts[0] if len(parts) == 1
+                         else jnp.concatenate(parts, axis=1)).astype(jnp.int8)
+                    c0 = (r * nd + dl) * N
+                    d_tau = digits_sc[:, c0 + tau * TILE:
+                                      c0 + (tau + 1) * TILE]
+                    part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
+                    acc_p = part if acc_p is None else acc_p + part
+                # fold P * 2^w into (tlo, thi) with carry
+                if w == 0:
+                    plo, phi = acc_p, acc_p >> 31
+                elif w < 32:
+                    plo, phi = acc_p << w, acc_p >> (32 - w)
+                else:
+                    plo, phi = jnp.zeros_like(acc_p), acc_p << (w - 32)
+                slo = tlo + plo
+                carry = (u(slo) < u(tlo)).astype(I32)
+                thi = thi + phi + carry
+                tlo = slo
+
+    for X in range(k1):
+        @pl.when(c == X)
+        def _(X=X):
+            lo = out_ref[:, (X * 2) * N:(X * 2 + 1) * N]
+            hi = out_ref[:, (X * 2 + 1) * N:(X * 2 + 2) * N]
+            slo = lo + tlo
+            carry = (u(slo) < u(lo)).astype(I32)
+            out_ref[:, (X * 2) * N:(X * 2 + 1) * N] = slo
+            out_ref[:, (X * 2 + 1) * N:(X * 2 + 2) * N] = hi + thi + carry
+
+
+def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
+                         cts_ms):
+    from fhe_regex_tpu.ops.pbs64 import (n_digit_limbs,
+                                         negacyclic_rotate_batch64)
+    k, N, n, level = (params.glwe_dimension, params.polynomial_size,
+                      params.lwe_dimension, params.pbs_level)
+    k1 = k + 1
+    rows = k1 * level
+    W = bsk8f.shape[-1]
+    B = cts_ms.shape[0]
+    tb = min(256, B)
+    nd = n_digit_limbs(params.pbs_base_log)
+    assert B % tb == 0, f"fused64 kernel needs batch % {tb} == 0, got {B}"
+    assert 64 - params.pbs_base_log * level >= 33
+
+    acc_lo = jnp.zeros((B, k1, N), I32).at[:, k, :].set(luts_lo[lut_idx])
+    acc_hi = jnp.zeros((B, k1, N), I32).at[:, k, :].set(luts_hi[lut_idx])
+    r0 = (2 * N - cts_ms[:, n]) & (2 * N - 1)
+    acc_lo, acc_hi = negacyclic_rotate_batch64(acc_lo, acc_hi, r0)
+    acc0 = jnp.stack([acc_lo, acc_hi], axis=2).reshape(B, k1 * 2 * N)
+
+    avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
+
+    acc = pl.pallas_call(
+        functools.partial(_fused_blindrot64_kernel, k1=k1, level=level,
+                          base_log=params.pbs_base_log, tiles=N // TILE,
+                          width=W, tb=tb, nd=nd),
+        grid=(n, k1),
+        in_specs=[
+            pl.BlockSpec((B, k1 * 2 * N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows * 8, W), lambda i, c, k1=k1: (i * k1 + c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, k1 * 2 * N), lambda i, c: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, k1 * 2 * N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, rows * nd * N), jnp.int8),
+                        pltpu.VMEM((TILE, W), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu"),
+    )(acc0, avals, bsk8f)
+    acc = acc.reshape(B, k1, 2, N)
+    return acc[:, :, 0, :], acc[:, :, 1, :]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def pbs_batch_fused64(params: Params, bsk8f, ksk8, luts_lo, luts_hi, lut_idx,
+                      cts_lo, cts_hi):
+    from fhe_regex_tpu.ops.pbs64 import (key_switch64, mod_switch64,
+                                         sample_extract64)
+    ms = mod_switch64(params, cts_lo, cts_hi)
+    acc_lo, acc_hi = blind_rotate_fused64(params, bsk8f, luts_lo, luts_hi,
+                                          lut_idx, ms)
+    big_lo, big_hi = sample_extract64(params, acc_lo, acc_hi)
+    return key_switch64(params, ksk8, big_lo, big_hi)
+
+
 # ---------------- full pipeline ----------------
 
 

@@ -52,3 +52,28 @@ def make_sharded_pbs_fn(dev_key: DeviceServerKey, mesh: Mesh):
         return pbs(luts, lut_idx, cts)
 
     return sharded
+
+
+def make_sharded_pbs_core(dev_key: DeviceServerKey, mesh: Mesh):
+    """Sharded PBS with the server key as explicit REPLICATED arguments.
+
+    (key_args, luts, lut_idx, cts) -> cts_out.  Callers that re-jit around
+    the PBS (the level executor) must use this form — closed-over keys embed
+    as HLO literals and overflow remote-compile request limits (pbs.py
+    key_arrays)."""
+    from fhe_regex_tpu.ops.pbs import key_arrays, make_pbs_core
+
+    core = make_pbs_core(dev_key)
+    n_key = len(key_arrays(dev_key))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((P(),) * n_key, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    def sharded(key, luts, lut_idx, cts):
+        return core(key, luts, lut_idx, cts)
+
+    return sharded

@@ -28,7 +28,6 @@ import numpy as np
 
 from fhe_regex_tpu.crypto.golden import make_lut_poly
 from fhe_regex_tpu.ops.luts import LutKey, lut_fn
-from fhe_regex_tpu.ops.pbs import make_pbs_fn
 from fhe_regex_tpu.params import Params
 from fhe_regex_tpu.regex.circuit import BitVal, CircuitBuilder, Node, PbsOp
 
@@ -181,15 +180,21 @@ class Executor:
     """
 
     def __init__(self, params: Params, dev_key, mesh=None):
+        from fhe_regex_tpu.ops.pbs import key_arrays, make_pbs_core
+
         self.params = params
         self.mesh = mesh
+        # the server key rides as jit ARGUMENTS, never as closure constants:
+        # a closed-over key becomes an embedded HLO literal and a 362 MB
+        # module overflows the remote compiler (HTTP 413 on axon)
+        self._key_args = key_arrays(dev_key)
         if mesh is None:
-            self.pbs = make_pbs_fn(dev_key)
+            self._core = make_pbs_core(dev_key)
         else:
-            from fhe_regex_tpu.parallel.mesh import make_sharded_pbs_fn
-            self.pbs = make_sharded_pbs_fn(dev_key, mesh)
+            from fhe_regex_tpu.parallel.mesh import make_sharded_pbs_core
+            self._core = make_sharded_pbs_core(dev_key, mesh)
 
-    def _run_level(self, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
+    def _run_level(self, key, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
                    lv_lut_idx, lv_out_idx):
         params = self.params
         gathered = slab[lv_in_slots]                       # [W, 3, n+1(, 2)]
@@ -225,12 +230,12 @@ class Executor:
             xlo = xlo.at[:, -1].set(blo)
             xhi = xhi.at[:, -1].set(bhi)
             x = jnp.stack([xlo, xhi], axis=-1)
-        outs = self.pbs(luts, jnp.maximum(lv_lut_idx, 0), x)
+        outs = self._core(key, luts, jnp.maximum(lv_lut_idx, 0), x)
         return slab.at[lv_out_idx].set(outs)
 
     @functools.cached_property
     def _level_jit(self):
-        return jax.jit(self._run_level, donate_argnums=(0,))
+        return jax.jit(self._run_level, donate_argnums=(1,))
 
     def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray,
             profile: bool = False) -> np.ndarray:
@@ -257,7 +262,7 @@ class Executor:
         for lv in circuit.levels:
             t0 = time.time() if profile else 0.0
             slab = self._level_jit(
-                slab, luts,
+                self._key_args, slab, luts,
                 jnp.asarray(lv.in_slots), jnp.asarray(lv.in_coefs),
                 jnp.asarray(lv.consts), jnp.asarray(lv.lut_idx),
                 jnp.asarray(lv.out_idx),
@@ -327,7 +332,7 @@ class Executor:
             for c0 in range(0, t_out.shape[0], MAX_LEVEL_BATCH):
                 sl = slice(c0, c0 + MAX_LEVEL_BATCH)
                 slab = self._level_jit(
-                    slab, luts,
+                    self._key_args, slab, luts,
                     jnp.asarray(t_slots[sl]), jnp.asarray(t_coefs[sl]),
                     jnp.asarray(t_consts[sl]), jnp.asarray(t_lut[sl]),
                     jnp.asarray(t_out[sl]),

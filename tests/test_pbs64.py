@@ -165,3 +165,25 @@ def test_has_match_64bit_sharded(keys64):
     assert decrypt(ck, has_match(sk, ct, "/a*bc/", mesh=mesh, fold="tree")) == 1
     ct2 = trivial_encrypt_str(P64, "cdbc")
     assert decrypt(ck, has_match(sk, ct2, "/a+bc/", mesh=mesh, fold="tree")) == 0
+
+
+def test_fused64_bitexact_vs_jnp64(keys64):
+    """Single-launch 64-bit blind rotation (pallas64) == jnp64 limb path."""
+    from fhe_regex_tpu.ops.pbs import make_pbs_fn, prepare_server_key
+    from fhe_regex_tpu.regex.executor import _limbs_to_np, _np_to_limbs
+
+    ck, sk = keys64
+    f = lambda x: (5 * x + 2) % 16
+    msgs = [0, 1, 5, 7, 12, 15, 3, 9]
+    lut = make_lut_poly(P64, f)
+    luts = jnp.asarray(_np_to_limbs(lut[None], 64))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    cts = np.stack([lwe.encrypt_lwe(P64, ck.lwe_key, m, ck.rng) for m in msgs])
+    ctsj = jnp.asarray(_np_to_limbs(cts, 64))
+
+    ref = make_pbs_fn(prepare_server_key(P64, sk, "jnp64"))(luts, idx, ctsj)
+    fus = make_pbs_fn(prepare_server_key(P64, sk, "pallas64"))(luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(fus))
+    o = _limbs_to_np(np.asarray(fus), 64)
+    got = [lwe.decrypt_lwe(P64, ck.lwe_key, o[i]) for i in range(len(msgs))]
+    assert got == [f(m) % 16 for m in msgs]
