@@ -3,8 +3,8 @@
 The reference has no runtime checkpointing; its only persistence is the test
 key fixture.  For long multi-host jobs this module adds the save/restore the
 reference leaves out: encrypted content, match results, and mid-run executor
-slabs, all as plain ``.npz`` (ciphertexts are uint32 arrays — nothing secret
-beyond what the server already holds).
+slabs, all as plain ``.npz`` (ciphertexts are uint32/uint64 torus arrays —
+nothing secret beyond what the server already holds).
 """
 
 from __future__ import annotations
@@ -15,7 +15,9 @@ import numpy as np
 
 
 def save_ciphertext(path, ct: np.ndarray, kind: str = "content") -> None:
-    np.savez_compressed(Path(path), kind=np.array(kind), ct=ct.astype(np.uint32))
+    # keep the torus dtype as-is: uint32 (32-bit sets) or uint64 (reference
+    # width) — an astype would silently truncate 64-bit ciphertexts
+    np.savez_compressed(Path(path), kind=np.array(kind), ct=ct)
 
 
 def load_ciphertext(path) -> np.ndarray:

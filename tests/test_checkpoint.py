@@ -1,0 +1,100 @@
+"""Checkpoint/resume of encrypted artifacts (SURVEY.md §5) at both widths."""
+
+import numpy as np
+
+from fhe_regex_tpu.params import TEST_PARAMS, TEST_PARAMS_64
+from fhe_regex_tpu.utils.checkpoint import (
+    load_ciphertext,
+    load_slab,
+    save_ciphertext,
+    save_slab,
+)
+from fhe_regex_tpu import trivial_encrypt_str
+
+
+def test_ciphertext_roundtrip_32(tmp_path):
+    ct = trivial_encrypt_str(TEST_PARAMS, "abc")
+    p = tmp_path / "ct32.npz"
+    save_ciphertext(p, ct)
+    back = load_ciphertext(p)
+    assert back.dtype == np.uint32
+    assert np.array_equal(back, ct)
+
+
+def test_ciphertext_roundtrip_64(tmp_path):
+    ct = trivial_encrypt_str(TEST_PARAMS_64, "abc")
+    assert ct.dtype == np.uint64
+    p = tmp_path / "ct64.npz"
+    save_ciphertext(p, ct)
+    back = load_ciphertext(p)
+    assert back.dtype == np.uint64          # no silent 32-bit truncation
+    assert np.array_equal(back, ct)
+
+
+def test_slab_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    slab = rng.integers(-2**31, 2**31, size=(64, 17), dtype=np.int64).astype(np.int32)
+    p = tmp_path / "slab.npz"
+    save_slab(p, slab, level_idx=3)
+    back, lvl = load_slab(p)
+    assert lvl == 3
+    assert np.array_equal(back, slab)
+
+
+def test_slab_roundtrip_limb_pairs(tmp_path):
+    """64-bit executor slabs are int32 limb-pair arrays [S, n+1, 2]."""
+    rng = np.random.default_rng(1)
+    slab = rng.integers(-2**31, 2**31, size=(16, 17, 2), dtype=np.int64).astype(np.int32)
+    p = tmp_path / "slab64.npz"
+    save_slab(p, slab, level_idx=1)
+    back, lvl = load_slab(p)
+    assert lvl == 1
+    assert np.array_equal(back, slab)
+
+
+def test_resume_mid_circuit(keys):
+    """Save the slab between levels, reload, finish the remaining levels:
+    identical result to an uninterrupted run."""
+    import jax.numpy as jnp
+
+    from fhe_regex_tpu import decrypt
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    params = sk.params
+    builder, root = compile_match(3, "/ab?c/", fold="tree")
+    circuit = compile_circuit(params, builder, root)
+    assert len(circuit.levels) >= 2
+    ex = Executor(params, prepare_server_key(params, sk, "jnp"))
+
+    content = trivial_encrypt_str(params, "abc")
+    full = ex.run(circuit, content)
+
+    # manual two-phase run with a checkpoint in the middle (tmp-free: memory)
+    n1 = params.lwe_dimension + 1
+    slab_np = np.zeros((circuit.num_slots, n1), np.int32)
+    flat = content.reshape(-1, n1).view(np.int32)
+    slab_np[1:1 + flat.shape[0]] = flat
+    slab = jnp.asarray(slab_np)
+    luts = jnp.asarray(circuit.luts.view(np.int32))
+    mid = len(circuit.levels) // 2
+    for lv in circuit.levels[:mid]:
+        slab = ex._level_jit(ex._key_args, slab, luts,
+                             jnp.asarray(lv.in_slots), jnp.asarray(lv.in_coefs),
+                             jnp.asarray(lv.consts), jnp.asarray(lv.lut_idx),
+                             jnp.asarray(lv.out_idx))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        save_slab(d + "/mid.npz", np.asarray(slab), mid)
+        restored, lvl = load_slab(d + "/mid.npz")
+    slab = jnp.asarray(restored)
+    for lv in circuit.levels[lvl:]:
+        slab = ex._level_jit(ex._key_args, slab, luts,
+                             jnp.asarray(lv.in_slots), jnp.asarray(lv.in_coefs),
+                             jnp.asarray(lv.consts), jnp.asarray(lv.lut_idx),
+                             jnp.asarray(lv.out_idx))
+    resumed = ex._finalize(circuit, slab)
+    assert np.array_equal(resumed, full)
+    assert decrypt(ck, resumed) == 1
