@@ -26,20 +26,37 @@ class CompiledPattern:
     """AOT-compiled regex match program, cached per content length."""
 
     def __init__(self, pattern: str, params: Optional[Params] = None,
-                 min_bucket: Optional[int] = None, fold: str = "tree"):
+                 min_bucket: Optional[int] = None, fold: str = "tree",
+                 engine: Optional[str] = None,
+                 branch_budget: Optional[int] = None):
         self.pattern = pattern
         self.params = params or get_params()
         self.min_bucket = min_bucket
         self.fold = fold
+        self.engine = engine
+        self.branch_budget = branch_budget
         parse(pattern)  # early validation (mirrors main.rs:17-20)
         self._circuits: Dict[int, CompiledCircuit] = {}
 
     def circuit(self, content_len: int) -> CompiledCircuit:
         if content_len not in self._circuits:
             from fhe_regex_tpu.regex.executor import default_min_bucket
-            builder, root = compile_match(content_len, self.pattern,
-                                          num_blocks=self.params.num_blocks,
-                                          fold=self.fold)
+            from fhe_regex_tpu.regex.native import available
+
+            engine = self.engine
+            if engine is None:
+                engine = "native" if available() else "python"
+            if engine == "native":
+                from fhe_regex_tpu.regex.native import compile_match_native
+                builder, root = compile_match_native(
+                    content_len, self.pattern,
+                    num_blocks=self.params.num_blocks, fold=self.fold,
+                    branch_budget=self.branch_budget)
+            else:
+                builder, root = compile_match(
+                    content_len, self.pattern,
+                    num_blocks=self.params.num_blocks, fold=self.fold,
+                    branch_budget=self.branch_budget)
             self._circuits[content_len] = compile_circuit(
                 self.params, builder, root,
                 min_bucket=self.min_bucket or default_min_bucket())
