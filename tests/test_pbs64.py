@@ -187,3 +187,15 @@ def test_fused64_bitexact_vs_jnp64(keys64):
     o = _limbs_to_np(np.asarray(fus), 64)
     got = [lwe.decrypt_lwe(P64, ck.lwe_key, o[i]) for i in range(len(msgs))]
     assert got == [f(m) % 16 for m in msgs]
+
+
+def test_has_match_many_64bit(keys64):
+    """Serving path (run_many limb-pair slabs) at the reference width."""
+    from fhe_regex_tpu import decrypt, has_match_many, trivial_encrypt_str
+
+    ck, sk = keys64
+    contents = ["abcx", "xxxx", "xabc"]
+    cts = np.stack([trivial_encrypt_str(P64, c) for c in contents])
+    res = has_match_many(sk, cts, "/abc/")
+    assert res.dtype == np.uint64
+    assert [decrypt(ck, res[i]) for i in range(3)] == [1, 0, 1]
