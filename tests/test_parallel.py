@@ -53,3 +53,40 @@ def test_entry_compiles():
     import __graft_entry__ as g
     fn, args = g.entry()
     jax.jit(fn).lower(*args)  # abstract lowering only on CPU (pallas interpret)
+
+
+@pytest.mark.parametrize("n_dev", [2, 3, 6])
+def test_tensor_parallel_bootstrap_bitexact(n_dev, keys):
+    """TP inside one bootstrap: GGSW rows sharded + per-step psum == the
+    single-device jnp path, bit-exactly (parallel/tensor.py)."""
+    import jax.numpy as jnp
+
+    from fhe_regex_tpu.crypto import lwe
+    from fhe_regex_tpu.crypto.golden import make_lut_poly
+    from fhe_regex_tpu.ops.pbs import make_pbs_fn, prepare_server_key
+    from fhe_regex_tpu.parallel.tensor import make_tp_mesh, make_tp_pbs_fn
+
+    params = TEST_PARAMS
+    ck, sk = keys
+    f = lambda x: (x * 5 + 3) % 16
+    msgs = [0, 1, 7, 15, 9, 4, 2, 11]
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng)
+                    for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+
+    ref = make_pbs_fn(prepare_server_key(params, sk, "jnp"))(luts, idx, ctsj)
+    tp = make_tp_pbs_fn(params, sk, make_tp_mesh(n_dev))(luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(tp))
+    o = np.asarray(tp).view(np.uint32)
+    got = [lwe.decrypt_lwe(params, ck.lwe_key, o[i]) for i in range(len(msgs))]
+    assert got == [f(m) % 16 for m in msgs]
+
+
+def test_tensor_parallel_rejects_bad_mesh(keys):
+    from fhe_regex_tpu.parallel.tensor import make_tp_mesh, make_tp_pbs_fn
+
+    _, sk = keys
+    with pytest.raises(ValueError):
+        make_tp_pbs_fn(TEST_PARAMS, sk, make_tp_mesh(4))
