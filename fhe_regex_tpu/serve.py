@@ -1,0 +1,184 @@
+"""Serving daemon: keep one warm process, match encrypted content over HTTP.
+
+Production counterpart of the reference's one-shot CLI (src/main.rs): the
+expensive state — server-key device upload and the compiled level
+executable (minutes of AOT ingest per fresh process on the axon platform,
+docs/BENCHMARKS.md) — lives in one long-running process; clients send
+encrypted content and get the encrypted match bit back.  The server never
+holds a client (secret) key: requests carry ciphertexts only, mirroring the
+reference's client/server trust split (SURVEY.md §3.1).
+
+Endpoints (JSON; ciphertext arrays as base64 of the raw little-endian
+buffer + shape/dtype):
+
+  GET  /health            -> {"status": "ok", "params": ..., "backend": ...}
+  POST /compile           {"pattern", "content_len"} -> circuit stats
+                          (pre-warms the executable for that shape)
+  POST /match             {"pattern", "ct": {"b64", "shape", "dtype"},
+                           "fold"?, "branch_budget"?}
+                          -> {"ct": {...}} encrypted 0/1 radix result
+  POST /match_many        same with ct shape [C, len, blocks, n+1]
+                          -> {"ct": {...}} with leading C axis
+
+Run:  python -m fhe_regex_tpu.serve --key server_key.npz --port 8471
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("fhe_regex_tpu.serve")
+
+
+def encode_array(a: np.ndarray) -> dict:
+    a = np.ascontiguousarray(a)
+    return {"b64": base64.b64encode(a.tobytes()).decode(),
+            "shape": list(a.shape), "dtype": str(a.dtype)}
+
+
+def decode_array(d: dict) -> np.ndarray:
+    raw = base64.b64decode(d["b64"])
+    return np.frombuffer(raw, dtype=np.dtype(d["dtype"])).reshape(d["shape"]).copy()
+
+
+class MatchService:
+    """The warm state: key material on device + compiled circuits."""
+
+    def __init__(self, server_key, backend: Optional[str] = None):
+        from fhe_regex_tpu import _executor_for
+
+        self.server_key = server_key
+        self.params = server_key.params
+        self.backend = backend
+        self.executor = _executor_for(server_key, backend)
+        self._lock = threading.Lock()      # one device, serialized matches
+        self._programs: dict = {}
+
+    def _program(self, pattern: str, fold: str, branch_budget):
+        from fhe_regex_tpu.models.patterns import CompiledPattern
+
+        key = (pattern, fold, branch_budget)
+        if key not in self._programs:
+            self._programs[key] = CompiledPattern(
+                pattern, params=self.params, fold=fold,
+                branch_budget=branch_budget)
+        return self._programs[key]
+
+    def compile(self, pattern: str, content_len: int, fold: str = "tree",
+                branch_budget=None) -> dict:
+        prog = self._program(pattern, fold, branch_budget)
+        return prog.stats(content_len)
+
+    def match(self, pattern: str, ct: np.ndarray, fold: str = "tree",
+              branch_budget=None) -> np.ndarray:
+        prog = self._program(pattern, fold, branch_budget)
+        with self._lock:
+            return prog.match(self.executor, ct)
+
+    def match_many(self, pattern: str, cts: np.ndarray, fold: str = "tree",
+                   branch_budget=None) -> np.ndarray:
+        prog = self._program(pattern, fold, branch_budget)
+        circuit = prog.circuit(cts.shape[1])
+        with self._lock:
+            return self.executor.run_many(circuit, np.ascontiguousarray(cts))
+
+
+def make_handler(service: MatchService):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            logger.debug("%s " + fmt, self.client_address[0], *args)
+
+        def do_GET(self):
+            if self.path == "/health":
+                from fhe_regex_tpu.ops.pbs import resolve_backend
+                self._reply(200, {
+                    "status": "ok",
+                    "params": service.params.name,
+                    "backend": resolve_backend(service.backend,
+                                               service.params),
+                })
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                fold = req.get("fold", "tree")
+                budget = req.get("branch_budget")
+                if self.path == "/compile":
+                    out = service.compile(req["pattern"],
+                                          int(req["content_len"]),
+                                          fold, budget)
+                    self._reply(200, out)
+                elif self.path == "/match":
+                    ct = decode_array(req["ct"])
+                    res = service.match(req["pattern"], ct, fold, budget)
+                    self._reply(200, {"ct": encode_array(res)})
+                elif self.path == "/match_many":
+                    cts = decode_array(req["ct"])
+                    res = service.match_many(req["pattern"], cts, fold,
+                                             budget)
+                    self._reply(200, {"ct": encode_array(res)})
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except Exception as e:   # surface as a clean client error
+                self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(service: MatchService, host: str = "127.0.0.1",
+                port: int = 8471) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), make_handler(service))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="fhe-regex-tpu-serve")
+    ap.add_argument("--params", default=None)
+    ap.add_argument("--key", default=None,
+                    help=".npz with bsk/ksk arrays (bench key-cache format); "
+                         "default: generate from --seed")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8471)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level="INFO")
+    from fhe_regex_tpu import gen_keys, get_params
+    from fhe_regex_tpu.crypto.keys import ServerKey
+
+    params = get_params(args.params)
+    if args.key:
+        z = np.load(args.key)
+        sk = ServerKey(params=params, bsk=z["bsk"], ksk=z["ksk"])
+    else:
+        logger.info("generating keys (%s)...", params.name)
+        _, sk = gen_keys(params, seed=args.seed)
+    service = MatchService(sk, backend=args.backend)
+    srv = make_server(service, args.host, args.port)
+    logger.info("serving %s on %s:%d", params.name, args.host, args.port)
+    srv.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

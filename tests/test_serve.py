@@ -1,0 +1,87 @@
+"""Serving daemon: warm-process HTTP match service (fhe_regex_tpu/serve.py).
+
+The server holds only the server key; the test client encrypts/decrypts
+with the client key — the reference's trust split over a real socket.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fhe_regex_tpu import decrypt, trivial_encrypt_str
+from fhe_regex_tpu.params import TEST_PARAMS
+from fhe_regex_tpu.serve import (
+    MatchService,
+    decode_array,
+    encode_array,
+    make_server,
+)
+
+
+@pytest.fixture(scope="module")
+def server(keys):
+    _, sk = keys
+    srv = make_server(MatchService(sk, backend="jnp"), port=0)  # ephemeral
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, path, obj):
+    req = urllib.request.Request(url + path, json.dumps(obj).encode(),
+                                 {"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health") as r:
+        out = json.loads(r.read())
+    assert out["status"] == "ok"
+    assert out["params"] == TEST_PARAMS.name
+
+
+def test_compile_prewarm(server):
+    out = _post(server, "/compile", {"pattern": "/ab?c/", "content_len": 3})
+    assert out["bootstraps"] > 0 and out["levels"] > 0
+
+
+def test_match_roundtrip(server, keys):
+    ck, _ = keys
+    for content, want in [("abc", 1), ("axc", 0)]:
+        ct = trivial_encrypt_str(TEST_PARAMS, content)
+        out = _post(server, "/match",
+                    {"pattern": "/ab?c/", "ct": encode_array(ct)})
+        res = decode_array(out["ct"])
+        assert decrypt(ck, res) == want, content
+
+
+def test_match_many_roundtrip(server, keys):
+    ck, _ = keys
+    contents = ["abcx", "xxxx", "xabc"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    out = _post(server, "/match_many",
+                {"pattern": "/abc/", "ct": encode_array(cts)})
+    res = decode_array(out["ct"])
+    assert [decrypt(ck, res[i]) for i in range(3)] == [1, 0, 1]
+
+
+def test_bad_pattern_is_clean_400(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/match", {"pattern": "/[0-9]/",
+                                 "ct": encode_array(
+                                     trivial_encrypt_str(TEST_PARAMS, "a"))})
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
+def test_budget_surfaces_as_400(server):
+    ct = trivial_encrypt_str(TEST_PARAMS, "aaabc")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/match", {"pattern": "/a*bc/", "ct": encode_array(ct),
+                                 "branch_budget": 1})
+    assert ei.value.code == 400
