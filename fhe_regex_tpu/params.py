@@ -182,13 +182,32 @@ class Params:
 # reference src/regex/ciphertext.rs:44, re-based onto a 32-bit torus).
 TPU_MESSAGE_2_CARRY_2 = Params(name="TPU_MESSAGE_2_CARRY_2")
 
-# The reference's 64-bit set, recorded for documentation/parity work.
-# (64-bit execution path: planned as 2xint32 limbs; not the primary path.)
+# The reference's 64-bit set — executable on device via the jnp64/pallas64
+# backends (ops/pbs64.py, ops/pbs_pallas.py).  CAVEAT: under this engine's
+# worst-case linear combine (x + 2y + 4z of PBS outputs) its analytic LUT
+# margin is only ~2.0 sigma (keyswitch noise dominates: tfhe-rs 0.2 accepted
+# ~1e-2 worst-case per-op error here).  Use it for parity/benchmarking;
+# production 64-bit serving should use TPU64_MESSAGE_2_CARRY_2 below.
 REF_MESSAGE_2_CARRY_2_64 = Params(
     name="REF_MESSAGE_2_CARRY_2_64",
     torus_bits=64,
     lwe_dimension=742,
     lwe_noise_std=7.069849454709433e-6 * (1 << 64),
+    glwe_noise_std=2.9403601535432533e-16 * (1 << 64),
+    pbs_base_log=23,
+    pbs_level=1,
+)
+
+# Production-safe 64-bit set: the reference's algebraic shape with the LWE
+# point rescaled along the constant-security line n / log2(q/sigma) ~= 43.4
+# (same rescale as the 32-bit primary set) — n=866, sigma/q = 2^-19.9 —
+# which shrinks the dominant keyswitch-key noise and lifts the worst-case
+# LUT margin from ~2.0 to ~7.6 sigma (asserted in tests).
+TPU64_MESSAGE_2_CARRY_2 = Params(
+    name="TPU64_MESSAGE_2_CARRY_2",
+    torus_bits=64,
+    lwe_dimension=866,
+    lwe_noise_std=2.0 ** (64 - 19.9),
     glwe_noise_std=2.9403601535432533e-16 * (1 << 64),
     pbs_base_log=23,
     pbs_level=1,
@@ -234,6 +253,7 @@ _REGISTRY = {
     for p in (
         TPU_MESSAGE_2_CARRY_2,
         REF_MESSAGE_2_CARRY_2_64,
+        TPU64_MESSAGE_2_CARRY_2,
         TEST_PARAMS,
         TEST_PARAMS_NOISY,
         TEST_PARAMS_64,

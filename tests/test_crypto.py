@@ -123,3 +123,14 @@ def test_key_fixture_roundtrip(tmp_path, keys):
 def test_primary_params_noise_budget():
     rep = TPU_MESSAGE_2_CARRY_2.noise_budget_report()
     assert rep["sigma_margin"] >= MIN_SIGMA_MARGIN, rep
+
+
+def test_tpu64_params_noise_budget():
+    """The production 64-bit set keeps the full margin; the reference's own
+    64-bit set is known-marginal (~2 sigma) under this engine's worst-case
+    combine and is kept for parity benchmarking only (params.py)."""
+    from fhe_regex_tpu.params import (REF_MESSAGE_2_CARRY_2_64,
+                                      TPU64_MESSAGE_2_CARRY_2)
+    rep = TPU64_MESSAGE_2_CARRY_2.noise_budget_report()
+    assert rep["sigma_margin"] >= MIN_SIGMA_MARGIN, rep
+    assert REF_MESSAGE_2_CARRY_2_64.noise_budget_report()["sigma_margin"] < 3.0
