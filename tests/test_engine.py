@@ -166,3 +166,23 @@ def test_real_encryption_roundtrip(noisy_keys):
     ct = encrypt_str(ck, "xaby")
     assert decrypt(ck, has_match(sk, ct, "/ab/")) == 1
     assert decrypt(ck, has_match(sk, ct, "/ba/")) == 0
+
+
+def test_executor_profile_stats(keys):
+    """run(profile=True) records per-level width/active/seconds (the TPU-side
+    analog of the reference's ct-op logging, SURVEY.md §5)."""
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    builder, root = compile_match(3, "/ab?c/", fold="tree")
+    circuit = compile_circuit(TEST_PARAMS, builder, root)
+    ex = Executor(TEST_PARAMS, prepare_server_key(TEST_PARAMS, sk, "jnp"))
+    res = ex.run(circuit, trivial_encrypt_str(TEST_PARAMS, "abc"),
+                 profile=True)
+    assert decrypt(ck, res) == 1
+    stats = ex.last_run_stats
+    assert len(stats) == len(circuit.levels)
+    assert all(s["seconds"] > 0 and s["active"] >= 1 for s in stats)
+    assert sum(s["active"] for s in stats) == circuit.pbs_count
