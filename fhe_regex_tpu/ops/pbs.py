@@ -208,7 +208,8 @@ def resolve_backend(backend: Optional[str],
 def prepare_server_key(params: Params, server_key,
                        backend: Optional[str] = None,
                        matmul_dtype=None,
-                       drop_limbs: int = 0) -> DeviceServerKey:
+                       drop_limbs: int = 0,
+                       stack_rows: Optional[bool] = None) -> DeviceServerKey:
     """drop_limbs rounds the bootstrap key to skip its low 8-bit limbs — 25%
     fewer blind-rotation MACs per limb at a bounded extra-noise cost
     (flag-gated fast mode; see ops/pbs_pallas.prepare_bsk_pallas)."""
@@ -233,9 +234,13 @@ def prepare_server_key(params: Params, server_key,
             limbs=tuple(range(drop_limbs, 4)),
         )
     if backend == "pallas-fused":
+        import os
         from fhe_regex_tpu.ops import pbs_pallas as pp
         # single-launch blind rotation: the accumulator stays in VMEM across
-        # all n CMUX steps (see pbs_pallas.blind_rotate_fused)
+        # all n CMUX steps (see pbs_pallas.blind_rotate_fused).  stack_rows
+        # selects the deep-K (K = rows*128) external-product formulation.
+        if stack_rows is None:
+            stack_rows = os.environ.get("FHE_REGEX_STACK_ROWS", "0") == "1"
         return DeviceServerKey(
             params, backend,
             bsk_fused=jnp.asarray(
@@ -244,6 +249,7 @@ def prepare_server_key(params: Params, server_key,
             .astype(jnp.bfloat16),
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
+            stack_rows=bool(stack_rows),
         )
     if backend == "jnp64":
         # 64-bit torus (the reference width, SURVEY.md N1) as int32 limb
@@ -288,11 +294,12 @@ def make_pbs_fn(dev_key: DeviceServerKey):
     if dev_key.backend == "pallas-fused":
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+        stack = getattr(dev_key, "stack_rows", False)
 
         def fn(luts, lut_idx, cts):
             return pbs_batch_fused(params, dev_key.bsk_fused, dev_key.ksk_limbs,
                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
-                                   cts)
+                                   stack, cts)
         return fn
     if dev_key.backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64
@@ -355,10 +362,11 @@ def make_pbs_core(dev_key: DeviceServerKey):
     if backend == "pallas-fused":
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+        stack = getattr(dev_key, "stack_rows", False)
 
         def core(key, luts, lut_idx, cts):
             return pbs_batch_fused(params, key[0], key[1], luts, lut_idx,
-                                   dev_key.matmul_dtype, limbs, cts)
+                                   dev_key.matmul_dtype, limbs, stack, cts)
         return core
     if backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64

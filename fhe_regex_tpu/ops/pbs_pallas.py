@@ -330,7 +330,7 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
                            digits_sc, bank_sc, *, k1: int, level: int,
                            base_log: int, torus_bits: int, tiles: int,
                            width: int, tb: int, matmul_dtype,
-                           limbs=(0, 1, 2, 3)):
+                           limbs=(0, 1, 2, 3), stack_rows: bool = False):
     """grid = (n, k1), c innermost.  out_ref [B, k1*N] IS the accumulator.
 
     Cell (i, 0): stage 1 — for each component (static loop), negacyclic-
@@ -341,6 +341,13 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
     Every cell (i, c): rolled-bank external product of all rows' digits
     against GGSW polys (i, ., c); the result adds into out_ref[:, c*N:...]
     under a per-component pl.when (static slices only).
+
+    stack_rows=True selects the deep-K formulation: digits are stored
+    tau-major ((tau, row) column groups), all rows' banks stack into one
+    [rows*TILE, W] scratch, and each (limb, tau) is ONE dot with
+    K = rows*TILE = 768 instead of `rows` dots with K = 128 — 6x fewer MXU
+    ops with in-MXU accumulation over the row axis (f32 partials stay
+    exact: 768 * 64 * 128 < 2^23).
     """
     i = pl.program_id(0)
     c = pl.program_id(1)
@@ -383,22 +390,43 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
                     state = (state - d) >> base_log
                     digs.append(d)
                 for j, d in enumerate(reversed(digs)):           # MSD first
-                    r0 = (comp * level + j) * N
-                    digits_sc[b0:b0 + tb, r0:r0 + N] = d.astype(digits_sc.dtype)
+                    r = comp * level + j
+                    d = d.astype(digits_sc.dtype)
+                    if stack_rows:                               # tau-major
+                        for tau in range(tiles):
+                            c0 = (tau * rows + r) * TILE
+                            digits_sc[b0:b0 + tb, c0:c0 + TILE] = (
+                                d[:, tau * TILE:(tau + 1) * TILE])
+                    else:
+                        digits_sc[b0:b0 + tb, r * N:(r + 1) * N] = d
 
     # ---- external product: all rows' digits x GGSW(i, ., c) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
     total = None
     for l in limbs:
         acc_l = None
-        for r in range(rows):
-            x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
-                                 .astype(I32), (TILE, width))
-            for s in range(7):                                   # log2(TILE)
-                rolled = pltpu.roll(x, 1 << s, axis=1)
-                x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
-            bank_sc[:, :] = x
-            x = bank_sc[:, :]
+        if stack_rows:
+            # stack every row's bank; one deep-K dot per tau afterwards
+            for r in range(rows):
+                x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
+                                     .astype(I32), (TILE, width))
+                for s in range(7):                               # log2(TILE)
+                    rolled = pltpu.roll(x, 1 << s, axis=1)
+                    x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+                bank_sc[r * TILE:(r + 1) * TILE, :] = x
+        for r in ([None] if stack_rows else range(rows)):
+            if stack_rows:
+                x = bank_sc[:, :]
+                K = rows * TILE
+            else:
+                x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
+                                     .astype(I32), (TILE, width))
+                for s in range(7):                               # log2(TILE)
+                    rolled = pltpu.roll(x, 1 << s, axis=1)
+                    x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+                bank_sc[:, :] = x
+                x = bank_sc[:, :]
+                K = TILE
             for tau in range(tiles):
                 a_vals = [(mu - tau - 1) % (2 * tiles) for mu in range(tiles)]
                 runs = [[a_vals[0], a_vals[0]]]
@@ -411,8 +439,12 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
                          for lo, hi in runs]
                 T = (parts[0] if len(parts) == 1
                      else jnp.concatenate(parts, axis=1)).astype(matmul_dtype)
-                d_tau = digits_sc[:, r * N + tau * TILE:
-                                  r * N + (tau + 1) * TILE].astype(matmul_dtype)
+                if stack_rows:
+                    d_tau = digits_sc[:, tau * K:(tau + 1) * K]
+                else:
+                    d_tau = digits_sc[:, r * N + tau * TILE:
+                                      r * N + (tau + 1) * TILE]
+                d_tau = d_tau.astype(matmul_dtype)
                 if int8_path:
                     part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
                 else:
@@ -430,7 +462,8 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
 
 def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
-                       matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3)):
+                       matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
+                       stack_rows: bool = False):
     """Whole blind rotation in ONE kernel launch (see module notes above)."""
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
                       params.lwe_dimension, params.pbs_level)
@@ -454,7 +487,7 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                           base_log=params.pbs_base_log,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, tb=tb, matmul_dtype=matmul_dtype,
-                          limbs=limbs),
+                          limbs=limbs, stack_rows=stack_rows),
         grid=(n, k1),
         in_specs=[
             pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
@@ -468,7 +501,8 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, rows * N), jnp.int8),
-                        pltpu.VMEM((TILE, W), jnp.int32)],
+                        pltpu.VMEM(((rows if stack_rows else 1) * TILE, W),
+                                   jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
@@ -476,12 +510,12 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
     return acc.reshape(B, k1, N)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
 def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
-                    matmul_dtype, limbs, cts):
+                    matmul_dtype, limbs, stack_rows, cts):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused(params, bsk_fused, luts, lut_idx, ms,
-                             matmul_dtype, limbs)
+                             matmul_dtype, limbs, stack_rows)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 

@@ -38,14 +38,15 @@ def test_pallas_pbs_bitexact_zero_noise(keys):
              lambda x: (2 * x + 3) % 16)
 
 
-def _compare_fused(params, keys, msgs, f):
+def _compare_fused(params, keys, msgs, f, stack_rows=False):
     ck, sk = keys
     cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng) for m in msgs])
     luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
     idx = jnp.zeros(len(msgs), jnp.int32)
     ctsj = jnp.asarray(cts.view(np.int32))
     ref = make_pbs_fn(prepare_server_key(params, sk, "jnp"))(luts, idx, ctsj)
-    fus = make_pbs_fn(prepare_server_key(params, sk, "pallas-fused"))(
+    fus = make_pbs_fn(prepare_server_key(params, sk, "pallas-fused",
+                                         stack_rows=stack_rows))(
         luts, idx, ctsj)
     assert np.array_equal(np.asarray(ref), np.asarray(fus))
     o = np.asarray(fus).view(np.uint32)
@@ -62,6 +63,17 @@ def test_fused_blindrot_bitexact_zero_noise(keys):
 def test_fused_blindrot_bitexact_noisy(noisy_keys):
     _compare_fused(TEST_PARAMS_NOISY, noisy_keys, [0, 3, 8, 15, 6, 1, 9, 12],
                    lambda x: (x * 7 + 2) % 16)
+
+
+def test_fused_blindrot_stack_rows_bitexact(keys):
+    """Deep-K (stacked-row) external product == jnp reference, bit-exact."""
+    _compare_fused(TEST_PARAMS, keys, [0, 1, 5, 7, 12, 15, 3, 9],
+                   lambda x: (2 * x + 3) % 16, stack_rows=True)
+
+
+def test_fused_blindrot_stack_rows_noisy(noisy_keys):
+    _compare_fused(TEST_PARAMS_NOISY, noisy_keys, [0, 3, 8, 15, 6, 1, 9, 12],
+                   lambda x: (x * 7 + 2) % 16, stack_rows=True)
 
 
 def test_pallas_pbs_noisy(noisy_keys):
