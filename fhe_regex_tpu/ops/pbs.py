@@ -209,7 +209,8 @@ def prepare_server_key(params: Params, server_key,
                        backend: Optional[str] = None,
                        matmul_dtype=None,
                        drop_limbs: int = 0,
-                       stack_rows: Optional[bool] = None) -> DeviceServerKey:
+                       stack_rows: Optional[bool] = None,
+                       bank_int8: Optional[bool] = None) -> DeviceServerKey:
     """drop_limbs rounds the bootstrap key to skip its low 8-bit limbs — 25%
     fewer blind-rotation MACs per limb at a bounded extra-noise cost
     (flag-gated fast mode; see ops/pbs_pallas.prepare_bsk_pallas)."""
@@ -241,6 +242,8 @@ def prepare_server_key(params: Params, server_key,
         # selects the deep-K (K = rows*128) external-product formulation.
         if stack_rows is None:
             stack_rows = os.environ.get("FHE_REGEX_STACK_ROWS", "0") == "1"
+        if bank_int8 is None:
+            bank_int8 = os.environ.get("FHE_REGEX_BANK_INT8", "0") == "1"
         return DeviceServerKey(
             params, backend,
             bsk_fused=jnp.asarray(
@@ -250,6 +253,7 @@ def prepare_server_key(params: Params, server_key,
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
             stack_rows=bool(stack_rows),
+            bank_int8=bool(bank_int8),
         )
     if backend == "jnp64":
         # 64-bit torus (the reference width, SURVEY.md N1) as int32 limb
@@ -295,11 +299,12 @@ def make_pbs_fn(dev_key: DeviceServerKey):
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
         stack = getattr(dev_key, "stack_rows", False)
+        b8 = getattr(dev_key, "bank_int8", False)
 
         def fn(luts, lut_idx, cts):
             return pbs_batch_fused(params, dev_key.bsk_fused, dev_key.ksk_limbs,
                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
-                                   stack, cts)
+                                   stack, b8, cts)
         return fn
     if dev_key.backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64
@@ -363,10 +368,11 @@ def make_pbs_core(dev_key: DeviceServerKey):
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
         stack = getattr(dev_key, "stack_rows", False)
+        b8 = getattr(dev_key, "bank_int8", False)
 
         def core(key, luts, lut_idx, cts):
             return pbs_batch_fused(params, key[0], key[1], luts, lut_idx,
-                                   dev_key.matmul_dtype, limbs, stack, cts)
+                                   dev_key.matmul_dtype, limbs, stack, b8, cts)
         return core
     if backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64

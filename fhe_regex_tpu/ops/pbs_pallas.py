@@ -330,7 +330,8 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
                            digits_sc, bank_sc, *, k1: int, level: int,
                            base_log: int, torus_bits: int, tiles: int,
                            width: int, tb: int, matmul_dtype,
-                           limbs=(0, 1, 2, 3), stack_rows: bool = False):
+                           limbs=(0, 1, 2, 3), stack_rows: bool = False,
+                           bank_int8: bool = False):
     """grid = (n, k1), c innermost.  out_ref [B, k1*N] IS the accumulator.
 
     Cell (i, 0): stage 1 — for each component (static loop), negacyclic-
@@ -402,29 +403,31 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
     # ---- external product: all rows' digits x GGSW(i, ., c) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+    bank_dt = jnp.int8 if bank_int8 else I32
     total = None
     for l in limbs:
         acc_l = None
+
+        def _build_bank(r):
+            # bank_int8 keeps the 7 roll/select stages in int8 — 4x more
+            # elements per VPU op than the int32 build
+            x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
+                                 .astype(bank_dt), (TILE, width))
+            for s in range(7):                                   # log2(TILE)
+                rolled = pltpu.roll(x, 1 << s, axis=1)
+                x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+            return x
+
         if stack_rows:
             # stack every row's bank; one deep-K dot per tau afterwards
             for r in range(rows):
-                x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
-                                     .astype(I32), (TILE, width))
-                for s in range(7):                               # log2(TILE)
-                    rolled = pltpu.roll(x, 1 << s, axis=1)
-                    x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
-                bank_sc[r * TILE:(r + 1) * TILE, :] = x
+                bank_sc[r * TILE:(r + 1) * TILE, :] = _build_bank(r)
         for r in ([None] if stack_rows else range(rows)):
             if stack_rows:
                 x = bank_sc[:, :]
                 K = rows * TILE
             else:
-                x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
-                                     .astype(I32), (TILE, width))
-                for s in range(7):                               # log2(TILE)
-                    rolled = pltpu.roll(x, 1 << s, axis=1)
-                    x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
-                bank_sc[:, :] = x
+                bank_sc[:, :] = _build_bank(r)
                 x = bank_sc[:, :]
                 K = TILE
             for tau in range(tiles):
@@ -463,7 +466,7 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
 def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                        matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
-                       stack_rows: bool = False):
+                       stack_rows: bool = False, bank_int8: bool = False):
     """Whole blind rotation in ONE kernel launch (see module notes above)."""
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
                       params.lwe_dimension, params.pbs_level)
@@ -487,7 +490,8 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                           base_log=params.pbs_base_log,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, tb=tb, matmul_dtype=matmul_dtype,
-                          limbs=limbs, stack_rows=stack_rows),
+                          limbs=limbs, stack_rows=stack_rows,
+                          bank_int8=bank_int8),
         grid=(n, k1),
         in_specs=[
             pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
@@ -502,7 +506,7 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, rows * N), jnp.int8),
                         pltpu.VMEM(((rows if stack_rows else 1) * TILE, W),
-                                   jnp.int32)],
+                                   jnp.int8 if bank_int8 else jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
@@ -510,12 +514,12 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
     return acc.reshape(B, k1, N)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
-                    matmul_dtype, limbs, stack_rows, cts):
+                    matmul_dtype, limbs, stack_rows, bank_int8, cts):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused(params, bsk_fused, luts, lut_idx, ms,
-                             matmul_dtype, limbs, stack_rows)
+                             matmul_dtype, limbs, stack_rows, bank_int8)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 
