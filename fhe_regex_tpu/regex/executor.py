@@ -300,22 +300,23 @@ class Executor:
         luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
         offs = (np.arange(C, dtype=np.int32) * S)[:, None]
         for lv in circuit.levels:
-            # tile the level across contents with per-content slot offsets;
-            # padded entries (lut_idx < 0) keep gathering slot 0 (the
-            # reserved zero ct) in every content's slab segment
-            active = lv.lut_idx >= 0
-            in_slots = np.where((lv.in_coefs != 0) & active[:, None],
-                                lv.in_slots[None] + offs[:, None], 0)
-            out_idx = np.where(active, lv.out_idx[None] + offs,
-                               lv.out_idx[None])
+            # pack only the ACTIVE ops of the level across contents (the
+            # compiled level is padded to a fixed launch width — tiling the
+            # padding C times would multiply launches by the padding factor)
+            act = lv.lut_idx >= 0
+            a_slots, a_coefs = lv.in_slots[act], lv.in_coefs[act]
+            a_consts, a_lut, a_out = lv.consts[act], lv.lut_idx[act], lv.out_idx[act]
+            # per-content slot offsets; coef-0 inputs keep gathering slot 0
+            # (the reserved zero ct) in every content's slab segment
+            in_slots = np.where(a_coefs[None] != 0,
+                                a_slots[None] + offs[:, None], 0)
             t_slots = in_slots.reshape(-1, 3)
-            t_coefs = np.broadcast_to(lv.in_coefs,
-                                      (C,) + lv.in_coefs.shape).reshape(-1, 3)
-            t_consts = np.broadcast_to(lv.consts,
-                                       (C,) + lv.consts.shape).reshape(-1)
-            t_lut = np.broadcast_to(lv.lut_idx,
-                                    (C,) + lv.lut_idx.shape).reshape(-1)
-            t_out = out_idx.reshape(-1)
+            t_coefs = np.broadcast_to(a_coefs,
+                                      (C,) + a_coefs.shape).reshape(-1, 3)
+            t_consts = np.broadcast_to(a_consts,
+                                       (C,) + a_consts.shape).reshape(-1)
+            t_lut = np.broadcast_to(a_lut, (C,) + a_lut.shape).reshape(-1)
+            t_out = (a_out[None] + offs).reshape(-1)
             # the flattened batch C*W may exceed what one kernel launch
             # handles in VMEM — chunk it; pad the tail chunk to the SAME
             # MAX_LEVEL_BATCH shape so every launch reuses the one compiled
