@@ -210,7 +210,7 @@ def prepare_server_key(params: Params, server_key,
                        matmul_dtype=None,
                        drop_limbs: int = 0,
                        stack_rows: Optional[bool] = None,
-                       bank_int8: Optional[bool] = None) -> DeviceServerKey:
+                       bank_split: Optional[bool] = None) -> DeviceServerKey:
     """drop_limbs rounds the bootstrap key to skip its low 8-bit limbs — 25%
     fewer blind-rotation MACs per limb at a bounded extra-noise cost
     (flag-gated fast mode; see ops/pbs_pallas.prepare_bsk_pallas)."""
@@ -242,18 +242,21 @@ def prepare_server_key(params: Params, server_key,
         # selects the deep-K (K = rows*128) external-product formulation.
         if stack_rows is None:
             stack_rows = os.environ.get("FHE_REGEX_STACK_ROWS", "0") == "1"
-        if bank_int8 is None:
-            bank_int8 = os.environ.get("FHE_REGEX_BANK_INT8", "0") == "1"
+        if bank_split is None:
+            bank_split = os.environ.get("FHE_REGEX_BANK_SPLIT", "0") == "1"
+        if bank_split:
+            stack_rows = True   # split banks only exist in the stacked layout
+        prep = (pp.prepare_bsk_fused_raw if bank_split
+                else pp.prepare_bsk_fused)
         return DeviceServerKey(
             params, backend,
-            bsk_fused=jnp.asarray(
-                pp.prepare_bsk_fused(params, server_key.bsk, drop_limbs)),
+            bsk_fused=jnp.asarray(prep(params, server_key.bsk, drop_limbs)),
             ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
             .astype(jnp.bfloat16),
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
             stack_rows=bool(stack_rows),
-            bank_int8=bool(bank_int8),
+            bank_split=bool(bank_split),
         )
     if backend == "jnp64":
         # 64-bit torus (the reference width, SURVEY.md N1) as int32 limb
@@ -299,12 +302,12 @@ def make_pbs_fn(dev_key: DeviceServerKey):
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
         stack = getattr(dev_key, "stack_rows", False)
-        b8 = getattr(dev_key, "bank_int8", False)
+        split = getattr(dev_key, "bank_split", False)
 
         def fn(luts, lut_idx, cts):
             return pbs_batch_fused(params, dev_key.bsk_fused, dev_key.ksk_limbs,
                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
-                                   stack, b8, cts)
+                                   stack, split, cts)
         return fn
     if dev_key.backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64
@@ -368,11 +371,12 @@ def make_pbs_core(dev_key: DeviceServerKey):
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
         stack = getattr(dev_key, "stack_rows", False)
-        b8 = getattr(dev_key, "bank_int8", False)
+        split = getattr(dev_key, "bank_split", False)
 
         def core(key, luts, lut_idx, cts):
             return pbs_batch_fused(params, key[0], key[1], luts, lut_idx,
-                                   dev_key.matmul_dtype, limbs, stack, b8, cts)
+                                   dev_key.matmul_dtype, limbs, stack, split,
+                                   cts)
         return core
     if backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64

@@ -326,12 +326,34 @@ def prepare_bsk_fused(params: Params, bsk: np.ndarray,
     return np.ascontiguousarray(q.reshape(n * k1 * rows * 8, W))
 
 
+def prepare_bsk_fused_raw(params: Params, bsk: np.ndarray,
+                          drop_limbs: int = 0) -> np.ndarray:
+    """bsk -> int32 [(n * (k+1)) * rows, 2N+WIN] raw doubled+wrapped windows
+    for the bank_split fused kernel: one packed int32 window per GGSW poly
+    (the kernel rolls it once per row and extracts the 4 int8 limb banks
+    arithmetically) — half the HBM key traffic of the 8-sublane int8 layout.
+    """
+    N = params.polynomial_size
+    k1 = params.glwe_dimension + 1
+    rows = params.pbs_level * k1
+    g = bsk.view(np.int32).astype(np.int64)              # [n, rows, k1, N]
+    if drop_limbs:
+        unit = 1 << (8 * drop_limbs)
+        g = ((g + unit // 2) >> (8 * drop_limbs)) << (8 * drop_limbs)
+    doubled = np.concatenate([g, -g], axis=-1)           # [..., 2N]
+    wrapped = np.concatenate([doubled, doubled[..., :WIN]], axis=-1)
+    w = (wrapped & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    n = w.shape[0]
+    w = np.transpose(w, (0, 2, 1, 3))                    # [n, k1, rows, W]
+    return np.ascontiguousarray(w.reshape(n * k1 * rows, -1))
+
+
 def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
                            digits_sc, bank_sc, *, k1: int, level: int,
                            base_log: int, torus_bits: int, tiles: int,
                            width: int, tb: int, matmul_dtype,
                            limbs=(0, 1, 2, 3), stack_rows: bool = False,
-                           bank_int8: bool = False):
+                           bank_split: bool = False):
     """grid = (n, k1), c innermost.  out_ref [B, k1*N] IS the accumulator.
 
     Cell (i, 0): stage 1 — for each component (static loop), negacyclic-
@@ -349,6 +371,11 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
     K = rows*TILE = 768 instead of `rows` dots with K = 128 — 6x fewer MXU
     ops with in-MXU accumulation over the row axis (f32 partials stay
     exact: 768 * 64 * 128 < 2^23).
+
+    bank_split=True (requires stack_rows) additionally switches the bank
+    build to ONE roll chain per row on the raw int32 window with in-kernel
+    int8 limb extraction (quad_ref then holds [rows, W] int32 from
+    prepare_bsk_fused_raw).
     """
     i = pl.program_id(0)
     c = pl.program_id(1)
@@ -403,31 +430,43 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
     # ---- external product: all rows' digits x GGSW(i, ., c) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
-    bank_dt = jnp.int8 if bank_int8 else I32
+    KS = rows * TILE
     total = None
+
+    def _roll_bank(row_vec):
+        x = jnp.broadcast_to(row_vec, (TILE, width))
+        for s in range(7):                                       # log2(TILE)
+            rolled = pltpu.roll(x, 1 << s, axis=1)
+            x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+        return x
+
+    if bank_split:
+        # ONE packed int32 roll chain per row (quad_ref holds raw doubled
+        # windows), then peel the 4 int8 limb banks arithmetically — ~1.7x
+        # less VPU than four per-limb int32 builds, and half the key HBM
+        # traffic (Mosaic cannot roll int8 data directly)
+        for r in range(rows):
+            v = _roll_bank(quad_ref[r:r + 1, :])
+            for l in range(4):
+                d = ((v + 128) & 255) - 128
+                bank_sc[l * KS + r * TILE:l * KS + (r + 1) * TILE, :] = (
+                    d.astype(jnp.int8))
+                v = (v - d) >> 8
     for l in limbs:
         acc_l = None
-
-        def _build_bank(r):
-            # bank_int8 keeps the 7 roll/select stages in int8 — 4x more
-            # elements per VPU op than the int32 build
-            x = jnp.broadcast_to(quad_ref[r * 8 + l:r * 8 + l + 1, :]
-                                 .astype(bank_dt), (TILE, width))
-            for s in range(7):                                   # log2(TILE)
-                rolled = pltpu.roll(x, 1 << s, axis=1)
-                x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
-            return x
-
-        if stack_rows:
+        if stack_rows and not bank_split:
             # stack every row's bank; one deep-K dot per tau afterwards
             for r in range(rows):
-                bank_sc[r * TILE:(r + 1) * TILE, :] = _build_bank(r)
+                bank_sc[r * TILE:(r + 1) * TILE, :] = _roll_bank(
+                    quad_ref[r * 8 + l:r * 8 + l + 1, :].astype(I32))
         for r in ([None] if stack_rows else range(rows)):
             if stack_rows:
-                x = bank_sc[:, :]
-                K = rows * TILE
+                x = (bank_sc[l * KS:(l + 1) * KS, :] if bank_split
+                     else bank_sc[:, :])
+                K = KS
             else:
-                bank_sc[:, :] = _build_bank(r)
+                bank_sc[:, :] = _roll_bank(
+                    quad_ref[r * 8 + l:r * 8 + l + 1, :].astype(I32))
                 x = bank_sc[:, :]
                 K = TILE
             for tau in range(tiles):
@@ -466,7 +505,7 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
 def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                        matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
-                       stack_rows: bool = False, bank_int8: bool = False):
+                       stack_rows: bool = False, bank_split: bool = False):
     """Whole blind rotation in ONE kernel launch (see module notes above)."""
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
                       params.lwe_dimension, params.pbs_level)
@@ -476,6 +515,7 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
     B = cts_ms.shape[0]
     tb = min(256, B)
     assert B % tb == 0, f"fused kernel needs batch % {tb} == 0, got {B}"
+    assert not (bank_split and not stack_rows), "bank_split needs stack_rows"
 
     lut = luts[lut_idx]
     acc0 = jnp.zeros((B, k1, N), dtype=I32)
@@ -491,22 +531,25 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, tb=tb, matmul_dtype=matmul_dtype,
                           limbs=limbs, stack_rows=stack_rows,
-                          bank_int8=bank_int8),
+                          bank_split=bank_split),
         grid=(n, k1),
         in_specs=[
             pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows * 8, W), lambda i, c, k1=k1: (i * k1 + c, 0),
+            pl.BlockSpec((rows if bank_split else rows * 8, W),
+                         lambda i, c, k1=k1: (i * k1 + c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, rows * N), jnp.int8),
+                        pltpu.VMEM((4 * rows * TILE, W), jnp.int8)
+                        if bank_split else
                         pltpu.VMEM(((rows if stack_rows else 1) * TILE, W),
-                                   jnp.int8 if bank_int8 else jnp.int32)],
+                                   jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
@@ -516,10 +559,10 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
-                    matmul_dtype, limbs, stack_rows, bank_int8, cts):
+                    matmul_dtype, limbs, stack_rows, bank_split, cts):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused(params, bsk_fused, luts, lut_idx, ms,
-                             matmul_dtype, limbs, stack_rows, bank_int8)
+                             matmul_dtype, limbs, stack_rows, bank_split)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 

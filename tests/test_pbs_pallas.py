@@ -38,7 +38,7 @@ def test_pallas_pbs_bitexact_zero_noise(keys):
              lambda x: (2 * x + 3) % 16)
 
 
-def _compare_fused(params, keys, msgs, f, stack_rows=False, bank_int8=False):
+def _compare_fused(params, keys, msgs, f, stack_rows=False, bank_split=False):
     ck, sk = keys
     cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng) for m in msgs])
     luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
@@ -47,7 +47,7 @@ def _compare_fused(params, keys, msgs, f, stack_rows=False, bank_int8=False):
     ref = make_pbs_fn(prepare_server_key(params, sk, "jnp"))(luts, idx, ctsj)
     fus = make_pbs_fn(prepare_server_key(params, sk, "pallas-fused",
                                          stack_rows=stack_rows,
-                                         bank_int8=bank_int8))(
+                                         bank_split=bank_split))(
         luts, idx, ctsj)
     assert np.array_equal(np.asarray(ref), np.asarray(fus))
     o = np.asarray(fus).view(np.uint32)
@@ -77,12 +77,12 @@ def test_fused_blindrot_stack_rows_noisy(noisy_keys):
                    lambda x: (x * 7 + 2) % 16, stack_rows=True)
 
 
-def test_fused_blindrot_bank_int8_bitexact(noisy_keys):
-    """int8 bank-build stages == int32 build (values are 8-bit limbs)."""
+def test_fused_blindrot_bank_split_bitexact(noisy_keys):
+    """packed-roll + in-kernel limb extraction == the per-limb int32 build."""
     _compare_fused(TEST_PARAMS_NOISY, noisy_keys, [0, 3, 8, 15, 6, 1, 9, 12],
-                   lambda x: (x * 7 + 2) % 16, stack_rows=True, bank_int8=True)
+                   lambda x: (x * 7 + 2) % 16, stack_rows=True, bank_split=True)
     _compare_fused(TEST_PARAMS_NOISY, noisy_keys, [2, 5, 10, 13, 4, 7, 11, 14],
-                   lambda x: (x + 9) % 16, bank_int8=True)
+                   lambda x: (x + 9) % 16, bank_split=True)
 
 
 def test_pallas_pbs_noisy(noisy_keys):
