@@ -240,8 +240,10 @@ def prepare_server_key(params: Params, server_key,
         # single-launch blind rotation: the accumulator stays in VMEM across
         # all n CMUX steps (see pbs_pallas.blind_rotate_fused).  stack_rows
         # selects the deep-K (K = rows*128) external-product formulation.
+        # deep-K stacked-row external product: measured 913.6 vs 835.1
+        # bootstraps/s/chip at B=1024 on v5e — the default
         if stack_rows is None:
-            stack_rows = os.environ.get("FHE_REGEX_STACK_ROWS", "0") == "1"
+            stack_rows = os.environ.get("FHE_REGEX_STACK_ROWS", "1") == "1"
         if bank_split is None:
             bank_split = os.environ.get("FHE_REGEX_BANK_SPLIT", "0") == "1"
         if bank_split:
