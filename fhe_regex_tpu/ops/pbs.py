@@ -273,15 +273,22 @@ def prepare_server_key(params: Params, server_key,
         )
     if backend == "pallas64":
         # fused single-launch 64-bit blind rotation (reference torus width
-        # at TPU speed; see pbs_pallas.blind_rotate_fused64)
+        # at TPU speed; see pbs_pallas.blind_rotate_fused64).  stack_rows
+        # selects the weight-class deep-K kernel with split banks.
+        import os
         from fhe_regex_tpu.ops import pbs64
         from fhe_regex_tpu.ops import pbs_pallas as pp
         if params.torus_bits != 64:
             raise ValueError("backend 'pallas64' needs a 64-bit parameter set")
+        if stack_rows is None:
+            stack_rows = os.environ.get("FHE_REGEX_STACK_ROWS", "1") == "1"
+        prep = (pp.prepare_bsk_fused64_raw if stack_rows
+                else pp.prepare_bsk_fused64)
         return DeviceServerKey(
             params, backend,
-            bsk8f=jnp.asarray(pp.prepare_bsk_fused64(params, server_key.bsk)),
+            bsk8f=jnp.asarray(prep(params, server_key.bsk)),
             ksk8=jnp.asarray(pbs64.prepare_ksk64(params, server_key.ksk)),
+            stack_rows=bool(stack_rows),
         )
     raise ValueError(f"unknown backend {backend!r}")
 
@@ -324,11 +331,12 @@ def make_pbs_fn(dev_key: DeviceServerKey):
         return fn
     if dev_key.backend == "pallas64":
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64
+        stack = getattr(dev_key, "stack_rows", False)
 
         def fn(luts, lut_idx, cts):
             out_lo, out_hi = pbs_batch_fused64(
                 params, dev_key.bsk8f, dev_key.ksk8,
-                luts[..., 0], luts[..., 1], lut_idx,
+                luts[..., 0], luts[..., 1], lut_idx, stack,
                 cts[..., 0], cts[..., 1])
             return jnp.stack([out_lo, out_hi], axis=-1)
         return fn
@@ -391,11 +399,12 @@ def make_pbs_core(dev_key: DeviceServerKey):
         return core
     if backend == "pallas64":
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64
+        stack = getattr(dev_key, "stack_rows", False)
 
         def core(key, luts, lut_idx, cts):
             out_lo, out_hi = pbs_batch_fused64(
                 params, key[0], key[1], luts[..., 0], luts[..., 1],
-                lut_idx, cts[..., 0], cts[..., 1])
+                lut_idx, stack, cts[..., 0], cts[..., 1])
             return jnp.stack([out_lo, out_hi], axis=-1)
         return core
     raise ValueError(backend)

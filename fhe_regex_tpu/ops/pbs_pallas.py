@@ -345,7 +345,10 @@ def prepare_bsk_fused_raw(params: Params, bsk: np.ndarray,
     w = (wrapped & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     n = w.shape[0]
     w = np.transpose(w, (0, 2, 1, 3))                    # [n, k1, rows, W]
-    return np.ascontiguousarray(w.reshape(n * k1 * rows, -1))
+    rp = -(-rows // 8) * 8          # pad the block sublane dim to 8-multiple
+    w = np.concatenate(
+        [w, np.zeros(w.shape[:2] + (rp - rows, w.shape[-1]), w.dtype)], axis=2)
+    return np.ascontiguousarray(w.reshape(n * k1 * rp, -1))
 
 
 def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
@@ -538,7 +541,7 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows if bank_split else rows * 8, W),
+            pl.BlockSpec((-(-rows // 8) * 8 if bank_split else rows * 8, W),
                          lambda i, c, k1=k1: (i * k1 + c, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -593,6 +596,199 @@ def prepare_bsk_fused64(params: Params, bsk: np.ndarray) -> np.ndarray:
     wrapped = np.concatenate([limbs, limbs[..., :WIN, :]], axis=-2)
     q = np.transpose(wrapped, (0, 2, 1, 4, 3))    # [n, k1, rows, 8, W]
     return np.ascontiguousarray(q.reshape(n * k1 * rows * 8, -1))
+
+
+def prepare_bsk_fused64_raw(params: Params, bsk: np.ndarray) -> np.ndarray:
+    """bsk [n, (k+1)l, k+1, N] uint64 -> int32 [(n*(k+1))*(rows*2), 2N+WIN]
+    raw doubled windows as interleaved (lo, hi) int32 rows, for the stacked
+    64-bit kernel (it rolls lo/hi once per row and peels the 8 int8 limb
+    banks in-kernel — 2 roll chains per row instead of 16)."""
+    N = params.polynomial_size
+    k1 = params.glwe_dimension + 1
+    rows = params.pbs_level * k1
+    g = bsk.astype(np.uint64)
+    doubled = np.concatenate([g, (np.uint64(0) - g)], axis=-1)    # mod 2^64
+    wrapped = np.concatenate([doubled, doubled[..., :WIN]], axis=-1)
+    lo = (wrapped & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+    hi = (wrapped >> np.uint64(32)).astype(np.uint32).view(np.int32)
+    pair = np.stack([lo, hi], axis=-2)            # [n, rows, k1, 2, W]
+    n = pair.shape[0]
+    q = np.transpose(pair, (0, 2, 1, 3, 4))       # [n, k1, rows, 2, W]
+    q = q.reshape(n, k1, rows * 2, -1)
+    rp = -(-(rows * 2) // 8) * 8    # pad the block sublane dim to 8-multiple
+    q = np.concatenate(
+        [q, np.zeros(q.shape[:2] + (rp - rows * 2, q.shape[-1]), q.dtype)],
+        axis=2)
+    return np.ascontiguousarray(q.reshape(n * k1 * rp, -1))
+
+
+def _fused_blindrot64_stacked_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
+                                     digits_sc, bank_sc, *, k1: int,
+                                     level: int, base_log: int, tiles: int,
+                                     width: int, tb: int, nd: int):
+    """Deep-K 64-bit blind rotation cell (grid (n, k1), c innermost).
+
+    Differences from _fused_blindrot64_kernel:
+      * banks: per row ONE roll chain each for the lo and hi int32 windows
+        (quad_ref rows 2r / 2r+1), then the 8 int8 key-limb banks are peeled
+        arithmetically into bank_sc[(j*rows + r)*TILE] (the lo->hi carry is
+        state + sign bit, exact mod 2^64);
+      * digits: tau-major (tau, digit-limb, row) column groups;
+      * dots: grouped by weight class cw = dl + j (8*cw < 64) — ONE dot per
+        (class, tau) with K = |pairs(cw)| * rows * TILE <= 768 and a single
+        (lo, hi) fold per class, instead of one K=128 dot per
+        (row, key-limb, digit-limb, tau).
+    """
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    N = tiles * TILE
+    B = out_ref.shape[0]
+    rows = k1 * level
+    U = jnp.uint32
+
+    def u(x):
+        return pltpu.bitcast(x, U)
+
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        out_ref[:, :] = acc0_ref[:, :]
+
+    # ---- stage 1: rotate, diff, decompose, digit limbs (tau-major) ----
+    @pl.when(c == 0)
+    def _():
+        shift = 64 - base_log * level            # >= 33 (asserted outside)
+        B_ = 1 << base_log
+        half = B_ // 2
+        for comp in range(k1):
+            for b0 in range(0, B, tb):
+                lo = out_ref[b0:b0 + tb, (comp * 2) * N:(comp * 2 + 1) * N]
+                hi = out_ref[b0:b0 + tb, (comp * 2 + 1) * N:(comp * 2 + 2) * N]
+                a = avals_ref[0, b0:b0 + tb, :]                 # [tb, 1]
+                col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+                rlo, rhi = lo, hi
+                for s in range(N.bit_length()):
+                    kk = 1 << s
+                    if kk < N:
+                        tlo = pltpu.roll(rlo, kk, axis=1)
+                        thi = pltpu.roll(rhi, kk, axis=1)
+                        nlo = -tlo
+                        nhi = -thi - (tlo != 0).astype(I32)
+                        tlo = jnp.where(col < kk, nlo, tlo)
+                        thi = jnp.where(col < kk, nhi, thi)
+                    else:                                       # N == negate
+                        tlo = -rlo
+                        thi = -rhi - (rlo != 0).astype(I32)
+                    bit = ((a >> s) & 1) == 1
+                    rlo = jnp.where(bit, tlo, rlo)
+                    rhi = jnp.where(bit, thi, rhi)
+                nlo = -lo
+                nhi = -hi - (lo != 0).astype(I32)
+                dlo = rlo + nlo
+                carry = (u(dlo) < u(rlo)).astype(I32)
+                dhi = rhi + nhi + carry
+                hi2 = dhi + (1 << (shift - 1 - 32))
+                state = (u(hi2) >> (shift - 32)).astype(I32)
+                digs = []
+                for _j in range(level):
+                    d = state & (B_ - 1)
+                    d = jnp.where(d >= half, d - B_, d)
+                    state = (state - d) >> base_log
+                    digs.append(d)
+                for j, d in enumerate(reversed(digs)):          # MSD first
+                    r = comp * level + j
+                    v = d
+                    for dl in range(nd):
+                        dd = ((v + 128) & 255) - 128
+                        v = (v - dd) >> 8
+                        dd = dd.astype(jnp.int8)
+                        for tau in range(tiles):                # tau-major
+                            c0 = ((tau * nd + dl) * rows + r) * TILE
+                            digits_sc[b0:b0 + tb, c0:c0 + TILE] = (
+                                dd[:, tau * TILE:(tau + 1) * TILE])
+
+    # ---- banks: 2 roll chains per row, peel 8 int8 limb banks ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+
+    def _roll(row_vec):
+        x = jnp.broadcast_to(row_vec, (TILE, width))
+        for s in range(7):                                      # log2(TILE)
+            rolled = pltpu.roll(x, 1 << s, axis=1)
+            x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+        return x
+
+    for r in range(rows):
+        xlo = _roll(quad_ref[2 * r:2 * r + 1, :])
+        xhi = _roll(quad_ref[2 * r + 1:2 * r + 2, :])
+        v = xlo
+        for j in range(4):
+            d = ((v + 128) & 255) - 128
+            bank_sc[(j * rows + r) * TILE:(j * rows + r + 1) * TILE, :] = (
+                d.astype(jnp.int8))
+            v = (v - d) >> 8
+        # residual of the signed-lo peel plus the lo sign bit carries into hi
+        w = xhi + v + (xlo < 0).astype(I32)
+        for j in range(4, 8):
+            d = ((w + 128) & 255) - 128
+            bank_sc[(j * rows + r) * TILE:(j * rows + r + 1) * TILE, :] = (
+                d.astype(jnp.int8))
+            w = (w - d) >> 8
+
+    # ---- external product: one deep-K dot per (weight class, tau) ----
+    tlo = jnp.zeros((B, N), I32)
+    thi = jnp.zeros((B, N), I32)
+    KR = rows * TILE
+    for cw in range(8):                                         # 8*cw < 64
+        dls = [dl for dl in range(nd) if 0 <= cw - dl < 8]
+        acc_c = None
+        for tau in range(tiles):
+            a_vals = [(mu - tau - 1) % (2 * tiles) for mu in range(tiles)]
+            runs = [[a_vals[0], a_vals[0]]]
+            for a_ in a_vals[1:]:
+                if a_ == runs[-1][1] + 1:
+                    runs[-1][1] = a_
+                else:
+                    runs.append([a_, a_])
+            T_parts = []
+            d_parts = []
+            for dl in dls:
+                j = cw - dl
+                bank = bank_sc[j * KR:(j + 1) * KR, :]
+                T_parts.append(jnp.concatenate(
+                    [bank[:, TILE * lo_ + TILE: TILE * hi_ + 2 * TILE]
+                     for lo_, hi_ in runs], axis=1)
+                    if len(runs) > 1 else
+                    bank[:, TILE * runs[0][0] + TILE:
+                         TILE * runs[0][1] + 2 * TILE])
+                c0 = (tau * nd + dl) * KR
+                d_parts.append(digits_sc[:, c0:c0 + KR])
+            T = (T_parts[0] if len(T_parts) == 1
+                 else jnp.concatenate(T_parts, axis=0))
+            d_tau = (d_parts[0] if len(d_parts) == 1
+                     else jnp.concatenate(d_parts, axis=1))
+            part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
+            acc_c = part if acc_c is None else acc_c + part
+        # fold acc_c * 2^(8*cw) into (tlo, thi) with carry
+        w = 8 * cw
+        if w == 0:
+            plo, phi = acc_c, acc_c >> 31
+        elif w < 32:
+            plo, phi = acc_c << w, acc_c >> (32 - w)
+        else:
+            plo, phi = jnp.zeros_like(acc_c), acc_c << (w - 32)
+        slo = tlo + plo
+        carry = (u(slo) < u(tlo)).astype(I32)
+        thi = thi + phi + carry
+        tlo = slo
+
+    for X in range(k1):
+        @pl.when(c == X)
+        def _(X=X):
+            lo = out_ref[:, (X * 2) * N:(X * 2 + 1) * N]
+            hi = out_ref[:, (X * 2 + 1) * N:(X * 2 + 2) * N]
+            slo = lo + tlo
+            carry = (u(slo) < u(lo)).astype(I32)
+            out_ref[:, (X * 2) * N:(X * 2 + 1) * N] = slo
+            out_ref[:, (X * 2 + 1) * N:(X * 2 + 2) * N] = hi + thi + carry
 
 
 def _fused_blindrot64_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
@@ -727,7 +923,7 @@ def _fused_blindrot64_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
 
 def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
-                         cts_ms):
+                         cts_ms, stack_rows: bool = False):
     from fhe_regex_tpu.ops.pbs64 import (n_digit_limbs,
                                          negacyclic_rotate_batch64)
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
@@ -749,24 +945,39 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
 
     avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
 
+    if stack_rows:
+        kern = functools.partial(
+            _fused_blindrot64_stacked_kernel, k1=k1, level=level,
+            base_log=params.pbs_base_log, tiles=N // TILE, width=W, tb=tb,
+            nd=nd)
+        key_rows = -(-(rows * 2) // 8) * 8
+        bank_shape = (8 * rows * TILE, W)
+        bank_dtype = jnp.int8
+    else:
+        kern = functools.partial(
+            _fused_blindrot64_kernel, k1=k1, level=level,
+            base_log=params.pbs_base_log, tiles=N // TILE, width=W, tb=tb,
+            nd=nd)
+        key_rows = rows * 8
+        bank_shape = (TILE, W)
+        bank_dtype = jnp.int32
+
     acc = pl.pallas_call(
-        functools.partial(_fused_blindrot64_kernel, k1=k1, level=level,
-                          base_log=params.pbs_base_log, tiles=N // TILE,
-                          width=W, tb=tb, nd=nd),
+        kern,
         grid=(n, k1),
         in_specs=[
             pl.BlockSpec((B, k1 * 2 * N), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows * 8, W), lambda i, c, k1=k1: (i * k1 + c, 0),
+            pl.BlockSpec((key_rows, W), lambda i, c, k1=k1: (i * k1 + c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((B, k1 * 2 * N), lambda i, c: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * 2 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, rows * nd * N), jnp.int8),
-                        pltpu.VMEM((TILE, W), jnp.int32)],
+                        pltpu.VMEM(bank_shape, bank_dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
@@ -775,14 +986,14 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
     return acc[:, :, 0, :], acc[:, :, 1, :]
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=(0, 6))
 def pbs_batch_fused64(params: Params, bsk8f, ksk8, luts_lo, luts_hi, lut_idx,
-                      cts_lo, cts_hi):
+                      stack_rows, cts_lo, cts_hi):
     from fhe_regex_tpu.ops.pbs64 import (key_switch64, mod_switch64,
                                          sample_extract64)
     ms = mod_switch64(params, cts_lo, cts_hi)
     acc_lo, acc_hi = blind_rotate_fused64(params, bsk8f, luts_lo, luts_hi,
-                                          lut_idx, ms)
+                                          lut_idx, ms, stack_rows)
     big_lo, big_hi = sample_extract64(params, acc_lo, acc_hi)
     return key_switch64(params, ksk8, big_lo, big_hi)
 

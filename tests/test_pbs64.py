@@ -182,11 +182,13 @@ def test_fused64_bitexact_vs_jnp64(keys64):
     ctsj = jnp.asarray(_np_to_limbs(cts, 64))
 
     ref = make_pbs_fn(prepare_server_key(P64, sk, "jnp64"))(luts, idx, ctsj)
-    fus = make_pbs_fn(prepare_server_key(P64, sk, "pallas64"))(luts, idx, ctsj)
-    assert np.array_equal(np.asarray(ref), np.asarray(fus))
-    o = _limbs_to_np(np.asarray(fus), 64)
-    got = [lwe.decrypt_lwe(P64, ck.lwe_key, o[i]) for i in range(len(msgs))]
-    assert got == [f(m) % 16 for m in msgs]
+    for stack in (False, True):   # per-pair K=128 kernel / weight-class deep-K
+        fus = make_pbs_fn(prepare_server_key(P64, sk, "pallas64",
+                                             stack_rows=stack))(luts, idx, ctsj)
+        assert np.array_equal(np.asarray(ref), np.asarray(fus)), stack
+        o = _limbs_to_np(np.asarray(fus), 64)
+        got = [lwe.decrypt_lwe(P64, ck.lwe_key, o[i]) for i in range(len(msgs))]
+        assert got == [f(m) % 16 for m in msgs]
 
 
 def test_has_match_many_64bit(keys64):
