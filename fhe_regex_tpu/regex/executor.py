@@ -97,14 +97,19 @@ def _assemble_root(params: Params, val: BitVal,
     return out
 
 
+SMALL_LEVEL_BATCH = 64   # second TPU executable shape for narrow levels
+
+
 def default_min_bucket() -> int:
-    """On TPU, pad every level to MAX_LEVEL_BATCH: the 866-step scan's fixed
-    per-step cost dominates at small widths anyway, and a single batch shape
-    means ONE compiled executable for every circuit level (the axon remote
-    Mosaic compiler costs minutes per distinct shape).  On CPU keep small
-    buckets — compiles are cheap and small batches much faster."""
+    """On TPU, levels use TWO executable shapes: SMALL_LEVEL_BATCH for
+    narrow levels and MAX_LEVEL_BATCH for the rest (measured on v5e with
+    the split-bank kernel: a 64-wide launch costs 0.155 s vs 0.349 s for a
+    256-wide one — the bank build is the B-independent floor).  Each shape
+    is one remote Mosaic compile, paid once per process.  On CPU keep small
+    power-of-two buckets — compiles are cheap and small batches much
+    faster."""
     import jax
-    return MAX_LEVEL_BATCH if jax.default_backend() == "tpu" else 8
+    return SMALL_LEVEL_BATCH if jax.default_backend() == "tpu" else 8
 
 
 def _bucket(w: int, min_bucket: int = 8) -> int:
@@ -146,7 +151,12 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
         # split oversized levels into <= max_batch kernel launches
         for c0 in range(0, len(ops), max_batch):
             chunk = ops[c0:c0 + max_batch]
-            w = min(_bucket(len(chunk), min_bucket), max_batch)
+            if min_bucket >= SMALL_LEVEL_BATCH:
+                # TPU two-shape scheme: {min_bucket, max_batch} only (every
+                # extra shape is a minutes-long remote Mosaic compile)
+                w = min_bucket if len(chunk) <= min_bucket else max_batch
+            else:
+                w = min(_bucket(len(chunk), min_bucket), max_batch)
             in_slots = np.zeros((w, 3), np.int32)
             in_coefs = np.zeros((w, 3), np.int32)
             consts = np.zeros(w, np.int32)
@@ -322,7 +332,10 @@ class Executor:
             # MAX_LEVEL_BATCH shape so every launch reuses the one compiled
             # executable (padded rows gather slot 0 and write the trash slot)
             total = t_out.shape[0]
-            pad = (-total) % MAX_LEVEL_BATCH
+            # small batches reuse the narrow executable shape
+            pad = ((SMALL_LEVEL_BATCH - total)
+                   if total <= SMALL_LEVEL_BATCH
+                   else (-total) % MAX_LEVEL_BATCH)
             if pad:
                 t_slots = np.concatenate([t_slots, np.zeros((pad, 3), np.int32)])
                 t_coefs = np.concatenate([t_coefs, np.zeros((pad, 3), np.int32)])

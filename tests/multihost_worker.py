@@ -1,0 +1,88 @@
+"""Worker for the 2-process multi-host test (tests/test_multihost.py).
+
+Every process runs this same program — the multi-host launch model of
+parallel/multihost.py (the reference has no distributed execution at all,
+SURVEY.md §2.3; this validates our jax.distributed path on CPU processes,
+the single-host analog of a 2-host pod, per SURVEY.md §4).
+"""
+
+import os
+import sys
+
+proc = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import numpy as np
+import jax
+
+from fhe_regex_tpu.parallel.multihost import initialize, global_mesh
+
+initialize(coordinator_address=f"127.0.0.1:{port}",
+           num_processes=nproc, process_id=proc)
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fhe_regex_tpu.params import TEST_PARAMS_NOISY as PARAMS
+from fhe_regex_tpu.crypto.keys import gen_keys
+from fhe_regex_tpu.crypto import lwe
+from fhe_regex_tpu.crypto.golden import make_lut_poly
+from fhe_regex_tpu.ops.pbs import prepare_server_key
+from fhe_regex_tpu.ops.luts import LUT_OR2, lut_fn
+from fhe_regex_tpu.parallel.mesh import BATCH_AXIS, make_sharded_pbs_fn
+from fhe_regex_tpu.parallel.collective import or_tree_across_devices
+
+mesh = global_mesh()
+n_dev = len(jax.devices())
+assert n_dev == 2 * nproc, jax.devices()
+
+# identical keys on every host (same seed -> same CSPRNG stream)
+ck, sk = gen_keys(PARAMS, seed=11)
+dev_key = prepare_server_key(PARAMS, sk, "jnp")
+
+B = 2 * n_dev
+msgs = [i % 4 for i in range(B)]
+cts = np.stack([lwe.encrypt_lwe(PARAMS, ck.lwe_key, m, ck.rng) for m in msgs])
+f = lambda x: (x * 3 + 1) % 16
+luts = jnp.asarray(np.stack([
+    make_lut_poly(PARAMS, f),
+    make_lut_poly(PARAMS, lut_fn(LUT_OR2)),
+]).view(np.int32))
+
+sharding = NamedSharding(mesh, P(BATCH_AXIS))
+per = B // nproc
+cts_g = jax.make_array_from_process_local_data(
+    sharding, cts.view(np.int32)[proc * per:(proc + 1) * per])
+idx_g = jax.make_array_from_process_local_data(
+    sharding, np.zeros(per, np.int32))
+
+pbs = make_sharded_pbs_fn(dev_key, mesh)
+out = jax.jit(pbs)(luts, idx_g, cts_g)
+
+# every process decrypts its addressable shards and checks them
+ok = True
+for shard in out.addressable_shards:
+    rows = np.asarray(shard.data).view(np.uint32)
+    base = shard.index[0].start or 0
+    for r in range(rows.shape[0]):
+        got = lwe.decrypt_lwe(PARAMS, ck.lwe_key, rows[r])
+        want = f(msgs[base + r]) % 16
+        ok &= got == want
+
+# cross-process homomorphic OR tree: one 1-bit on the last device
+bits = np.stack([lwe.trivial_lwe(PARAMS, 1 if proc == nproc - 1 and j == 1
+                                 else 0) for j in range(2)])
+bits_g = jax.make_array_from_process_local_data(sharding, bits.view(np.int32))
+or_tree = or_tree_across_devices(dev_key, mesh)
+reduced = jax.jit(or_tree)(luts, jnp.ones((), jnp.int32), bits_g)
+for shard in reduced.addressable_shards:
+    rows = np.asarray(shard.data).view(np.uint32)
+    for r in range(rows.shape[0]):
+        ok &= lwe.decrypt_lwe(PARAMS, ck.lwe_key, rows[r]) == 1
+
+print(f"MULTIHOST_OK proc={proc} devices={n_dev} ok={ok}", flush=True)
+sys.exit(0 if ok else 1)
