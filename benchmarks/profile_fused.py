@@ -47,12 +47,14 @@ def main():
     times = {}
     for limbs in [(0, 1, 2, 3), (0, 1, 2), (0,)]:
         out = pbs_batch_fused(params, dev.bsk_fused, dev.ksk_limbs, luts,
-                              idx, jnp.int8, limbs, ctsj)
+                              idx, jnp.int8, limbs, dev.stack_rows,
+                              dev.bank_split, ctsj)
         np.asarray(out)
         t0 = time.time()
         for _ in range(3):
             out = pbs_batch_fused(params, dev.bsk_fused, dev.ksk_limbs, luts,
-                                  idx, jnp.int8, limbs, ctsj)
+                                  idx, jnp.int8, limbs, dev.stack_rows,
+                                  dev.bank_split, ctsj)
         np.asarray(out)
         dt = (time.time() - t0) / 3
         times[len(limbs)] = dt
