@@ -262,11 +262,12 @@ class Executor:
         n1 = params.lwe_dimension + 1
         tb = params.torus_bits
         shape = (circuit.num_slots, n1) if tb == 32 else (circuit.num_slots, n1, 2)
-        slab_np = np.zeros(shape, np.int32)
+        # build the slab on device: only the content rows cross the host
+        # link (the remote-TPU tunnel makes full-slab transfers expensive)
+        slab = jnp.zeros(shape, np.int32)
         if content_blocks.size:
             flat = _np_to_limbs(content_blocks.reshape(-1, n1), tb)
-            slab_np[1:1 + flat.shape[0]] = flat
-        slab = jnp.asarray(slab_np)
+            slab = slab.at[1:1 + flat.shape[0]].set(jnp.asarray(flat))
         luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
         stats = []
         for lv in circuit.levels:
@@ -301,12 +302,15 @@ class Executor:
         tb = params.torus_bits
         S = circuit.num_slots
         shape = (C * S, n1) if tb == 32 else (C * S, n1, 2)
-        slab_np = np.zeros(shape, np.int32)
+        # device-side slab build: upload only the content rows, not C*S slots
+        slab = jnp.zeros(shape, np.int32)
         if contents.size:
             flat = _np_to_limbs(contents.reshape(C, -1, n1), tb)
-            for ci in range(C):
-                slab_np[ci * S + 1: ci * S + 1 + flat.shape[1]] = flat[ci]
-        slab = jnp.asarray(slab_np)
+            L = flat.shape[1]
+            rows = (np.arange(C, dtype=np.int32)[:, None] * S + 1
+                    + np.arange(L, dtype=np.int32)[None, :]).reshape(-1)
+            slab = slab.at[jnp.asarray(rows)].set(
+                jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
         luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
         offs = (np.arange(C, dtype=np.int32) * S)[:, None]
         for lv in circuit.levels:
@@ -351,13 +355,18 @@ class Executor:
                     jnp.asarray(t_consts[sl]), jnp.asarray(t_lut[sl]),
                     jnp.asarray(t_out[sl]),
                 )
-        slab_host = np.asarray(slab)
         dt = U32 if tb == 32 else np.uint64
         out = np.zeros((C, params.num_blocks, n1), dt)
         val = circuit.root.val
+        if val.sign == 0:
+            root_rows = None
+        else:
+            # download ONLY the C root rows, not the C*S-slot slab
+            ridx = np.arange(C, dtype=np.int32) * S + val.slot
+            root_rows = np.asarray(slab[jnp.asarray(ridx)])
         for ci in range(C):
             ct_u = (None if val.sign == 0
-                    else _limbs_to_np(slab_host[ci * S + val.slot], tb))
+                    else _limbs_to_np(root_rows[ci], tb))
             out[ci] = _assemble_root(params, val, ct_u)
         return out
 
