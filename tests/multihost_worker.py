@@ -8,6 +8,11 @@ the single-host analog of a 2-host pod, per SURVEY.md §4).
 
 import os
 import sys
+from pathlib import Path
+
+# Robust to a missing editable install: the repo root is this file's parent's
+# parent (sys.path[0] is tests/ when launched by path).
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 proc = int(sys.argv[1])
 nproc = int(sys.argv[2])
