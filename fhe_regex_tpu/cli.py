@@ -25,8 +25,11 @@ def main(argv=None) -> int:
                     help="parameter set name (default: TPU_MESSAGE_2_CARRY_2)")
     ap.add_argument("--trivial", action="store_true",
                     help="use noiseless trivial content encryption (fast test path)")
-    ap.add_argument("--backend", default=None, choices=["jnp", "pallas"],
-                    help="PBS kernel backend (default: auto)")
+    ap.add_argument("--backend", default=None,
+                    choices=["jnp", "pallas", "pallas-fused", "jnp64",
+                             "pallas64"],
+                    help="PBS kernel backend (default: auto — pallas-fused "
+                         "on TPU, jnp on CPU; *64 for 64-bit parameter sets)")
     ap.add_argument("--fold", default="reference", choices=["reference", "tree"],
                     help="OR-fold order: reference (counter parity) or tree "
                          "(log-depth, lower latency)")

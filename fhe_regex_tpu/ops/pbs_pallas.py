@@ -351,13 +351,19 @@ def prepare_bsk_fused_raw(params: Params, bsk: np.ndarray,
     return np.ascontiguousarray(w.reshape(n * k1 * rp, -1))
 
 
-def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
+def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
                            digits_sc, bank_sc, *, k1: int, level: int,
                            base_log: int, torus_bits: int, tiles: int,
                            width: int, tb: int, matmul_dtype,
                            limbs=(0, 1, 2, 3), stack_rows: bool = False,
                            bank_split: bool = False):
     """grid = (n, k1), c innermost.  out_ref [B, k1*N] IS the accumulator.
+
+    Cell (0, 0) first builds the initial accumulator IN-KERNEL: mask
+    components zero, body = X^{-b~} * lut (lutsel_ref [B, N] is the
+    per-instance LUT, r0_ref [B, 1] the initial rotation).  Building acc0
+    in-kernel instead of passing a [B, k1*N] input block frees that block's
+    VMEM for the whole rotation — the headroom that admits larger batches.
 
     Cell (i, 0): stage 1 — for each component (static loop), negacyclic-
     rotate out_ref's component slice by a~_i (log2(2N) conditional rolls,
@@ -389,7 +395,23 @@ def _fused_blindrot_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
     @pl.when((i == 0) & (c == 0))
     def _():
-        out_ref[:, :] = acc0_ref[:, :]
+        # acc0 = [0, ..., 0, X^{-b~} * lut] built in-kernel (see docstring)
+        for comp in range(k1 - 1):
+            out_ref[:, comp * N:(comp + 1) * N] = jnp.zeros((B, N), I32)
+        for b0 in range(0, B, tb):
+            x = lutsel_ref[b0:b0 + tb, :]
+            rr = r0_ref[b0:b0 + tb, :]
+            col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+            rot = x
+            for s in range(N.bit_length()):                  # shifts 1..N
+                kk = 1 << s
+                if kk < N:
+                    r_ = pltpu.roll(rot, kk, axis=1)
+                    r_ = jnp.where(col < kk, -r_, r_)        # negacyclic
+                else:                                        # N == negate
+                    r_ = -rot
+                rot = jnp.where(((rr >> s) & 1) == 1, r_, rot)
+            out_ref[b0:b0 + tb, (k1 - 1) * N:k1 * N] = rot
 
     # ---- stage 1: rotate + decompose both components into digits_sc ----
     @pl.when(c == 0)
@@ -520,11 +542,9 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
     assert B % tb == 0, f"fused kernel needs batch % {tb} == 0, got {B}"
     assert not (bank_split and not stack_rows), "bank_split needs stack_rows"
 
-    lut = luts[lut_idx]
-    acc0 = jnp.zeros((B, k1, N), dtype=I32)
-    acc0 = acc0.at[:, k, :].set(lut)
-    acc0 = negacyclic_rotate_batch(acc0, (2 * N - cts_ms[:, n]) & (2 * N - 1))
-    acc0 = acc0.reshape(B, k1 * N)
+    lut_sel = luts[lut_idx].astype(I32)                          # [B, N]
+    r0 = (((2 * N - cts_ms[:, n]) & (2 * N - 1))
+          .astype(I32)[:, None])                                 # [B, 1]
 
     avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
 
@@ -537,7 +557,9 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                           bank_split=bank_split),
         grid=(n, k1),
         in_specs=[
-            pl.BlockSpec((B, k1 * N), lambda i, c: (0, 0),
+            pl.BlockSpec((B, N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -554,9 +576,9 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                         pltpu.VMEM(((rows if stack_rows else 1) * TILE, W),
                                    jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
-    )(acc0, avals, bsk_fused)
+    )(lut_sel, r0, avals, bsk_fused)
     return acc.reshape(B, k1, N)
 
 
@@ -622,7 +644,43 @@ def prepare_bsk_fused64_raw(params: Params, bsk: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(q.reshape(n * k1 * rp, -1))
 
 
-def _fused_blindrot64_stacked_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
+def _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref, *, k1: int,
+                N: int, tb: int):
+    """Build the initial 64-bit accumulator in-kernel at cell (0, 0): mask
+    components zero, body = X^{-b~} * lut on (lo, hi) int32 limb pairs.
+    Shares the conditional-roll negacyclic rotation with stage 1; frees the
+    [B, k1*2*N] acc0 input block's VMEM for the whole rotation."""
+    B = out_ref.shape[0]
+    for comp in range(k1 - 1):
+        out_ref[:, (comp * 2) * N:(comp * 2 + 2) * N] = (
+            jnp.zeros((B, 2 * N), I32))
+    for b0 in range(0, B, tb):
+        lo = lutsel_lo_ref[b0:b0 + tb, :]
+        hi = lutsel_hi_ref[b0:b0 + tb, :]
+        a = r0_ref[b0:b0 + tb, :]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+        rlo, rhi = lo, hi
+        for s in range(N.bit_length()):                  # shifts 1..N
+            kk = 1 << s
+            if kk < N:
+                tlo = pltpu.roll(rlo, kk, axis=1)
+                thi = pltpu.roll(rhi, kk, axis=1)
+                nlo = -tlo
+                nhi = -thi - (tlo != 0).astype(I32)      # negate mod 2^64
+                tlo = jnp.where(col < kk, nlo, tlo)
+                thi = jnp.where(col < kk, nhi, thi)
+            else:                                        # N == negate
+                tlo = -rlo
+                thi = -rhi - (rlo != 0).astype(I32)
+            bit = ((a >> s) & 1) == 1
+            rlo = jnp.where(bit, tlo, rlo)
+            rhi = jnp.where(bit, thi, rhi)
+        out_ref[b0:b0 + tb, ((k1 - 1) * 2) * N:((k1 - 1) * 2 + 1) * N] = rlo
+        out_ref[b0:b0 + tb, ((k1 - 1) * 2 + 1) * N:((k1 - 1) * 2 + 2) * N] = rhi
+
+
+def _fused_blindrot64_stacked_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
+                                     avals_ref, quad_ref, out_ref,
                                      digits_sc, bank_sc, *, k1: int,
                                      level: int, base_log: int, tiles: int,
                                      width: int, tb: int, nd: int):
@@ -651,7 +709,8 @@ def _fused_blindrot64_stacked_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
     @pl.when((i == 0) & (c == 0))
     def _():
-        out_ref[:, :] = acc0_ref[:, :]
+        _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref,
+                    k1=k1, N=N, tb=tb)
 
     # ---- stage 1: rotate, diff, decompose, digit limbs (tau-major) ----
     @pl.when(c == 0)
@@ -791,7 +850,8 @@ def _fused_blindrot64_stacked_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
             out_ref[:, (X * 2 + 1) * N:(X * 2 + 2) * N] = hi + thi + carry
 
 
-def _fused_blindrot64_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
+def _fused_blindrot64_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
+                             avals_ref, quad_ref, out_ref,
                              digits_sc, bank_sc, *, k1: int, level: int,
                              base_log: int, tiles: int, width: int, tb: int,
                              nd: int):
@@ -809,7 +869,8 @@ def _fused_blindrot64_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
     @pl.when((i == 0) & (c == 0))
     def _():
-        out_ref[:, :] = acc0_ref[:, :]
+        _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref,
+                    k1=k1, N=N, tb=tb)
 
     # ---- stage 1 on limb pairs: rotate, diff, decompose, digit limbs ----
     @pl.when(c == 0)
@@ -924,8 +985,7 @@ def _fused_blindrot64_kernel(acc0_ref, avals_ref, quad_ref, out_ref,
 
 def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
                          cts_ms, stack_rows: bool = False):
-    from fhe_regex_tpu.ops.pbs64 import (n_digit_limbs,
-                                         negacyclic_rotate_batch64)
+    from fhe_regex_tpu.ops.pbs64 import n_digit_limbs
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
                       params.lwe_dimension, params.pbs_level)
     k1 = k + 1
@@ -937,11 +997,10 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
     assert B % tb == 0, f"fused64 kernel needs batch % {tb} == 0, got {B}"
     assert 64 - params.pbs_base_log * level >= 33
 
-    acc_lo = jnp.zeros((B, k1, N), I32).at[:, k, :].set(luts_lo[lut_idx])
-    acc_hi = jnp.zeros((B, k1, N), I32).at[:, k, :].set(luts_hi[lut_idx])
-    r0 = (2 * N - cts_ms[:, n]) & (2 * N - 1)
-    acc_lo, acc_hi = negacyclic_rotate_batch64(acc_lo, acc_hi, r0)
-    acc0 = jnp.stack([acc_lo, acc_hi], axis=2).reshape(B, k1 * 2 * N)
+    lut_lo = luts_lo[lut_idx].astype(I32)                        # [B, N]
+    lut_hi = luts_hi[lut_idx].astype(I32)                        # [B, N]
+    r0 = (((2 * N - cts_ms[:, n]) & (2 * N - 1))
+          .astype(I32)[:, None])                                 # [B, 1]
 
     avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
 
@@ -966,7 +1025,11 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
         kern,
         grid=(n, k1),
         in_specs=[
-            pl.BlockSpec((B, k1 * 2 * N), lambda i, c: (0, 0),
+            pl.BlockSpec((B, N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, N), lambda i, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -979,9 +1042,9 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
         scratch_shapes=[pltpu.VMEM((B, rows * nd * N), jnp.int8),
                         pltpu.VMEM(bank_shape, bank_dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
-    )(acc0, avals, bsk8f)
+    )(lut_lo, lut_hi, r0, avals, bsk8f)
     acc = acc.reshape(B, k1, 2, N)
     return acc[:, :, 0, :], acc[:, :, 1, :]
 
