@@ -142,11 +142,14 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
 def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
                    backend: Optional[str] = None, fold: str = "tree",
                    engine: Optional[str] = None,
-                   branch_budget: Optional[int] = None) -> np.ndarray:
+                   branch_budget: Optional[int] = None,
+                   wide_batch: Optional[bool] = None) -> np.ndarray:
     """Match one pattern against many equal-length encrypted contents.
 
     The serving fast path: the compiled circuit is shared and every level's
     bootstrap batch spans all contents.  Returns [C, num_blocks, n+1].
+    ``wide_batch`` enables the WIDE_LEVEL_BATCH launch shape for big packed
+    levels (default: on for TPU; see Executor.run_many).
     """
     params = server_key.params
     contents = np.ascontiguousarray(ct_contents)
@@ -166,7 +169,7 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
                                       branch_budget=branch_budget)
     circuit = compile_circuit(params, builder, root)
     executor = _executor_for(server_key, backend)
-    result = executor.run_many(circuit, contents)
+    result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(
         "%d contents x (%d ops, %d bootstraps in %d levels)",
         contents.shape[0], circuit.ct_ops, circuit.pbs_count, len(circuit.levels),

@@ -59,7 +59,11 @@ class CompiledCircuit:
         return sum(int((lv.lut_idx >= 0).sum()) for lv in self.levels)
 
 
-MAX_LEVEL_BATCH = 256   # largest PBS batch one kernel launch handles (VMEM)
+MAX_LEVEL_BATCH = 256   # largest PBS batch one compiled-circuit level uses
+WIDE_LEVEL_BATCH = 1024  # serving (run_many) wide-chunk shape: packed level
+#                          batches >= this run at the kernel's large-batch
+#                          throughput (v5e: 913+ pbs/s at B>=1024 vs ~680-730
+#                          at W=256).  One extra Mosaic executable per process.
 
 
 def _np_to_limbs(a: np.ndarray, torus_bits: int) -> np.ndarray:
@@ -110,6 +114,35 @@ def default_min_bucket() -> int:
     faster."""
     import jax
     return SMALL_LEVEL_BATCH if jax.default_backend() == "tpu" else 8
+
+
+def _chunk_sizes(total: int, use_wide: bool) -> List[int]:
+    """Launch-shape plan for a packed run_many level of `total` active ops.
+
+    Greedy over the three executable shapes {WIDE, MAX, SMALL}: full wide
+    chunks first, then a cost check — one padded wide launch beats four
+    narrow ones (measured ~1.1 s vs 4 x ~0.35 s on v5e) — then MAX chunks
+    with a SMALL tail.  Every size returned is one of the three shapes, so
+    no new executables appear beyond the (at most) three per process.
+    """
+    sizes: List[int] = []
+    rem = total
+    if use_wide:
+        sizes += [WIDE_LEVEL_BATCH] * (rem // WIDE_LEVEL_BATCH)
+        rem -= WIDE_LEVEL_BATCH * (rem // WIDE_LEVEL_BATCH)
+        if rem > 3 * MAX_LEVEL_BATCH:
+            sizes.append(WIDE_LEVEL_BATCH)
+            rem = 0
+    if rem:
+        if rem <= SMALL_LEVEL_BATCH:
+            sizes.append(SMALL_LEVEL_BATCH)
+        else:
+            sizes += [MAX_LEVEL_BATCH] * (rem // MAX_LEVEL_BATCH)
+            tail = rem % MAX_LEVEL_BATCH
+            if tail:
+                sizes.append(SMALL_LEVEL_BATCH if tail <= SMALL_LEVEL_BATCH
+                             else MAX_LEVEL_BATCH)
+    return sizes
 
 
 def _bucket(w: int, min_bucket: int = 8) -> int:
@@ -286,8 +319,8 @@ class Executor:
         self.last_run_stats = stats
         return self._finalize(circuit, slab)
 
-    def run_many(self, circuit: CompiledCircuit,
-                 contents: np.ndarray) -> np.ndarray:
+    def run_many(self, circuit: CompiledCircuit, contents: np.ndarray,
+                 wide_batch: "bool | None" = None) -> np.ndarray:
         """Match ONE compiled pattern against MANY encrypted contents.
 
         contents: [C, len, num_blocks, n+1] uint32 -> [C, num_blocks, n+1].
@@ -295,7 +328,18 @@ class Executor:
         The serving fast path: all C contents share the circuit, so every
         level's bootstrap batch is C x width — far better MXU utilization
         than C separate runs (levels amortize across contents).
+
+        wide_batch adds a third WIDE_LEVEL_BATCH-wide launch shape for big
+        packed levels (default: on for TPU, off elsewhere; env override
+        FHE_REGEX_WIDE_BATCH=0|1).  Costs one extra Mosaic executable per
+        process, then large levels run at the kernel's B>=1024 throughput.
         """
+        import os
+
+        if wide_batch is None:
+            env = os.environ.get("FHE_REGEX_WIDE_BATCH")
+            wide_batch = (env == "1" if env is not None
+                          else jax.default_backend() == "tpu")
         params = self.params
         C = contents.shape[0]
         n1 = params.lwe_dimension + 1
@@ -332,14 +376,12 @@ class Executor:
             t_lut = np.broadcast_to(a_lut, (C,) + a_lut.shape).reshape(-1)
             t_out = (a_out[None] + offs).reshape(-1)
             # the flattened batch C*W may exceed what one kernel launch
-            # handles in VMEM — chunk it; pad the tail chunk to the SAME
-            # MAX_LEVEL_BATCH shape so every launch reuses the one compiled
-            # executable (padded rows gather slot 0 and write the trash slot)
+            # handles in VMEM — chunk it over the fixed executable shapes
+            # ({WIDE,} MAX, SMALL; padded rows gather slot 0 and write the
+            # trash slot) so every launch reuses a compiled executable
             total = t_out.shape[0]
-            # small batches reuse the narrow executable shape
-            pad = ((SMALL_LEVEL_BATCH - total)
-                   if total <= SMALL_LEVEL_BATCH
-                   else (-total) % MAX_LEVEL_BATCH)
+            sizes = _chunk_sizes(total, wide_batch)
+            pad = sum(sizes) - total
             if pad:
                 t_slots = np.concatenate([t_slots, np.zeros((pad, 3), np.int32)])
                 t_coefs = np.concatenate([t_coefs, np.zeros((pad, 3), np.int32)])
@@ -347,8 +389,10 @@ class Executor:
                 t_lut = np.concatenate([t_lut, np.full(pad, -1, np.int32)])
                 t_out = np.concatenate(
                     [t_out, np.full(pad, circuit.num_slots - 1, np.int32)])
-            for c0 in range(0, t_out.shape[0], MAX_LEVEL_BATCH):
-                sl = slice(c0, c0 + MAX_LEVEL_BATCH)
+            c0 = 0
+            for w in sizes:
+                sl = slice(c0, c0 + w)
+                c0 += w
                 slab = self._level_jit(
                     self._key_args, slab, luts,
                     jnp.asarray(t_slots[sl]), jnp.asarray(t_coefs[sl]),
