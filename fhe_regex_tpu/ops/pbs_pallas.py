@@ -1092,17 +1092,22 @@ def blind_rotate_pallas(params: Params, bsk_quad, luts, lut_idx, cts_ms,
 def key_switch_mxu(params: Params, ksk_limbs, big):
     """Keyswitch as 4 exact limb matmuls on the MXU.
 
-    ksk_limbs [4, kN*L, n+1] bf16 (signed 8-bit limb values);
-    digits |.| <= Bks/2 = 4, so f32-accumulated products stay < 2^23: exact.
+    ksk_limbs [4, kN*L, n+1] int8 (or bf16) signed 8-bit limb values;
+    digits |.| <= Bks/2 = 4, so accumulated products stay exact on either
+    path: int8xint8->int32 outright, or f32 sums < kN*L*4*128 < 2^23.
+    int8 runs at 2x the bf16 MXU rate on v5e — the default layout.
     """
     kN, n = params.glwe_key_dim, params.lwe_dimension
     L = params.ks_level
     digits = decompose(big[:, :kN], params.ks_base_log, L)      # [L, B, kN]
     D = jnp.transpose(digits, (1, 2, 0)).reshape(big.shape[0], kN * L)
-    D = D.astype(jnp.bfloat16)
+    int8_path = ksk_limbs.dtype == jnp.int8
+    D = D.astype(jnp.int8 if int8_path else jnp.bfloat16)
     acc = None
     for l in range(4):
-        dot = jnp.dot(D, ksk_limbs[l], preferred_element_type=jnp.float32)
+        dot = jnp.dot(D, ksk_limbs[l],
+                      preferred_element_type=I32 if int8_path
+                      else jnp.float32)
         part = dot.astype(I32) << (8 * l)
         acc = part if acc is None else acc + part
     out = -acc
