@@ -229,7 +229,8 @@ def prepare_server_key(params: Params, server_key,
             params, backend,
             bsk_quad=jnp.asarray(
                 pp.prepare_bsk_pallas(params, server_key.bsk, drop_limbs)),
-            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk)),
+            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
+            .astype(jnp.bfloat16),
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
         )
@@ -252,7 +253,8 @@ def prepare_server_key(params: Params, server_key,
         return DeviceServerKey(
             params, backend,
             bsk_fused=jnp.asarray(prep(params, server_key.bsk, drop_limbs)),
-            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk)),
+            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
+            .astype(jnp.bfloat16),
             matmul_dtype=matmul_dtype or jnp.int8,
             limbs=tuple(range(drop_limbs, 4)),
             stack_rows=bool(stack_rows),
