@@ -98,10 +98,15 @@ def main():
     np.asarray(out)  # host transfer: axon block_until_ready can return early
     print(f"# compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
+    import contextlib
+    prof_dir = os.environ.get("BENCH_PROFILE")  # JAX profiler trace dir
+    prof = (jax.profiler.trace(prof_dir) if prof_dir
+            else contextlib.nullcontext())
     t0 = time.time()
-    for _ in range(iters):
-        out = pbs(luts, lut_idx, ctsj)
-    np.asarray(out)
+    with prof:
+        for _ in range(iters):
+            out = pbs(luts, lut_idx, ctsj)
+        np.asarray(out)
     dt = time.time() - t0
     pbs_per_sec = iters * B / dt
 
