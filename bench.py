@@ -62,10 +62,11 @@ def main():
         from fhe_regex_tpu.params import get_params
         params = get_params(os.environ["BENCH_PARAMS"])
     is64 = params.torus_bits == 64
-    # VMEM-ceiling sweet spots for the fused kernels: B=1536 (32-bit,
-    # 931.7 pbs/s; 2048 exceeds vmem by ~6 MB) and B=1024 (64-bit, 613.1)
+    # VMEM-ceiling sweet spots for the fused kernels: B=1792 (32-bit,
+    # 937.6 pbs/s at the 127M vmem cap; 2048 exceeds the 128M chip vmem)
+    # and B=1024 (64-bit, 613.1)
     B = int(os.environ.get(
-        "BENCH_BATCH", ("1024" if is64 else "1536") if on_tpu else "8"))
+        "BENCH_BATCH", ("1024" if is64 else "1792") if on_tpu else "8"))
     iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
     backend = os.environ.get(
         "BENCH_BACKEND",

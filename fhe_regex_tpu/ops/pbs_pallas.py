@@ -575,8 +575,10 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                         if bank_split else
                         pltpu.VMEM(((rows if stack_rows else 1) * TILE, W),
                                    jnp.int32)],
+        # 127M: B=1792 needs 122.7M of kernel stack (the chip has 128M);
+        # the default 120M cap was the binding term, not the hardware
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
     )(lut_sel, r0, avals, bsk_fused)
     return acc.reshape(B, k1, N)
