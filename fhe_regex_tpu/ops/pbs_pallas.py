@@ -1044,7 +1044,7 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
         scratch_shapes=[pltpu.VMEM((B, rows * nd * N), jnp.int8),
                         pltpu.VMEM(bank_shape, bank_dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
     )(lut_lo, lut_hi, r0, avals, bsk8f)
     acc = acc.reshape(B, k1, 2, N)
