@@ -132,3 +132,31 @@ def test_fuzz_encrypted_vs_oracle(seed, keys):
             pytest.skip(f"{pattern!r}: {type(e).__name__}")
         got = decrypt(ck, res)
         assert got == want, (pattern, content, fold)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_noisy_encrypted_vs_oracle(seed, noisy_keys):
+    """Same oracle check through REAL (noisy) encryption — validates the
+    noise path end-to-end, not just the trivial-ciphertext logic."""
+    from fhe_regex_tpu import encrypt_str
+    from fhe_regex_tpu.params import TEST_PARAMS_NOISY
+
+    ck, sk = noisy_keys
+    rng = random.Random(7000 + seed)
+    pattern = _pattern(rng)
+    content = _content(rng)
+    try:
+        parse(pattern)
+    except ValueError:
+        pytest.skip(f"generator produced unparsable {pattern!r}")
+    try:
+        want = oracle_match(content, pattern)
+    except (ValueError, OracleBudgetExceeded, RecursionError):
+        pytest.skip(f"pattern {pattern!r} not executable / too wide")
+    ct = encrypt_str(ck, content)
+    try:
+        res = has_match(sk, ct, pattern, backend="jnp", fold="tree",
+                        branch_budget=200_000)
+    except Exception as e:
+        pytest.skip(f"{pattern!r}: {type(e).__name__}")
+    assert decrypt(ck, res) == want, (pattern, content)
