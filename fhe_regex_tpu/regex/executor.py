@@ -280,6 +280,28 @@ class Executor:
     def _level_jit(self):
         return jax.jit(self._run_level, donate_argnums=(1,))
 
+    def _device_luts(self, circuit: "CompiledCircuit"):
+        """Device copy of the LUT table, cached on the circuit (uploads once
+        per circuit instead of once per match — each host->device transfer
+        is a round trip over the axon tunnel)."""
+        luts = getattr(circuit, "_dev_luts", None)
+        if luts is None:
+            luts = jnp.asarray(_np_to_limbs(circuit.luts, self.params.torus_bits))
+            circuit._dev_luts = luts
+        return luts
+
+    def _device_levels(self, circuit: "CompiledCircuit"):
+        """Device copies of every level's plan arrays, cached on the circuit
+        (the plans are immutable once compiled)."""
+        dl = getattr(circuit, "_dev_levels", None)
+        if dl is None:
+            dl = [tuple(jnp.asarray(x) for x in
+                        (lv.in_slots, lv.in_coefs, lv.consts,
+                         lv.lut_idx, lv.out_idx))
+                  for lv in circuit.levels]
+            circuit._dev_levels = dl
+        return dl
+
     def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray,
             profile: bool = False) -> np.ndarray:
         """content_blocks: [len, num_blocks, n+1] uint32 -> radix result
@@ -301,16 +323,11 @@ class Executor:
         if content_blocks.size:
             flat = _np_to_limbs(content_blocks.reshape(-1, n1), tb)
             slab = slab.at[1:1 + flat.shape[0]].set(jnp.asarray(flat))
-        luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
+        luts = self._device_luts(circuit)
         stats = []
-        for lv in circuit.levels:
+        for lv, dev in zip(circuit.levels, self._device_levels(circuit)):
             t0 = time.time() if profile else 0.0
-            slab = self._level_jit(
-                self._key_args, slab, luts,
-                jnp.asarray(lv.in_slots), jnp.asarray(lv.in_coefs),
-                jnp.asarray(lv.consts), jnp.asarray(lv.lut_idx),
-                jnp.asarray(lv.out_idx),
-            )
+            slab = self._level_jit(self._key_args, slab, luts, *dev)
             if profile:
                 slab.block_until_ready()
                 stats.append({"width": int(lv.lut_idx.shape[0]),
@@ -318,6 +335,65 @@ class Executor:
                               "seconds": time.time() - t0})
         self.last_run_stats = stats
         return self._finalize(circuit, slab)
+
+    def _device_chunks_many(self, circuit: "CompiledCircuit", C: int,
+                            wide_batch: bool):
+        """Packed, padded, chunked run_many launch plans as device arrays,
+        cached on the circuit per (C, wide_batch) — steady-state serving
+        re-runs the same plan, so the packing + tunnel uploads happen once.
+        """
+        cache = getattr(circuit, "_dev_chunks", None)
+        if cache is None:
+            cache = {}
+            circuit._dev_chunks = cache
+        key = (C, bool(wide_batch))
+        if key in cache:
+            return cache[key]
+        S = circuit.num_slots
+        offs = (np.arange(C, dtype=np.int32) * S)[:, None]
+        chunks = []
+        for lv in circuit.levels:
+            # pack only the ACTIVE ops of the level across contents (the
+            # compiled level is padded to a fixed launch width — tiling the
+            # padding C times would multiply launches by the padding factor)
+            act = lv.lut_idx >= 0
+            a_slots, a_coefs = lv.in_slots[act], lv.in_coefs[act]
+            a_consts, a_lut, a_out = (lv.consts[act], lv.lut_idx[act],
+                                      lv.out_idx[act])
+            # per-content slot offsets; coef-0 inputs keep gathering slot 0
+            # (the reserved zero ct) in every content's slab segment
+            in_slots = np.where(a_coefs[None] != 0,
+                                a_slots[None] + offs[:, None], 0)
+            t_slots = in_slots.reshape(-1, 3)
+            t_coefs = np.broadcast_to(a_coefs,
+                                      (C,) + a_coefs.shape).reshape(-1, 3)
+            t_consts = np.broadcast_to(a_consts,
+                                       (C,) + a_consts.shape).reshape(-1)
+            t_lut = np.broadcast_to(a_lut, (C,) + a_lut.shape).reshape(-1)
+            t_out = (a_out[None] + offs).reshape(-1)
+            # the flattened batch C*W may exceed what one kernel launch
+            # handles in VMEM — chunk it over the fixed executable shapes
+            # ({WIDE,} MAX, SMALL; padded rows gather slot 0 and write the
+            # trash slot) so every launch reuses a compiled executable
+            total = t_out.shape[0]
+            sizes = _chunk_sizes(total, wide_batch)
+            pad = sum(sizes) - total
+            if pad:
+                t_slots = np.concatenate([t_slots, np.zeros((pad, 3), np.int32)])
+                t_coefs = np.concatenate([t_coefs, np.zeros((pad, 3), np.int32)])
+                t_consts = np.concatenate([t_consts, np.zeros(pad, np.int32)])
+                t_lut = np.concatenate([t_lut, np.full(pad, -1, np.int32)])
+                t_out = np.concatenate(
+                    [t_out, np.full(pad, S - 1, np.int32)])
+            c0 = 0
+            for w in sizes:
+                sl = slice(c0, c0 + w)
+                c0 += w
+                chunks.append(tuple(jnp.asarray(x) for x in
+                                    (t_slots[sl], t_coefs[sl], t_consts[sl],
+                                     t_lut[sl], t_out[sl])))
+        cache[key] = chunks
+        return chunks
 
     def run_many(self, circuit: CompiledCircuit, contents: np.ndarray,
                  wide_batch: "bool | None" = None) -> np.ndarray:
@@ -355,50 +431,9 @@ class Executor:
                     + np.arange(L, dtype=np.int32)[None, :]).reshape(-1)
             slab = slab.at[jnp.asarray(rows)].set(
                 jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
-        luts = jnp.asarray(_np_to_limbs(circuit.luts, tb))
-        offs = (np.arange(C, dtype=np.int32) * S)[:, None]
-        for lv in circuit.levels:
-            # pack only the ACTIVE ops of the level across contents (the
-            # compiled level is padded to a fixed launch width — tiling the
-            # padding C times would multiply launches by the padding factor)
-            act = lv.lut_idx >= 0
-            a_slots, a_coefs = lv.in_slots[act], lv.in_coefs[act]
-            a_consts, a_lut, a_out = lv.consts[act], lv.lut_idx[act], lv.out_idx[act]
-            # per-content slot offsets; coef-0 inputs keep gathering slot 0
-            # (the reserved zero ct) in every content's slab segment
-            in_slots = np.where(a_coefs[None] != 0,
-                                a_slots[None] + offs[:, None], 0)
-            t_slots = in_slots.reshape(-1, 3)
-            t_coefs = np.broadcast_to(a_coefs,
-                                      (C,) + a_coefs.shape).reshape(-1, 3)
-            t_consts = np.broadcast_to(a_consts,
-                                       (C,) + a_consts.shape).reshape(-1)
-            t_lut = np.broadcast_to(a_lut, (C,) + a_lut.shape).reshape(-1)
-            t_out = (a_out[None] + offs).reshape(-1)
-            # the flattened batch C*W may exceed what one kernel launch
-            # handles in VMEM — chunk it over the fixed executable shapes
-            # ({WIDE,} MAX, SMALL; padded rows gather slot 0 and write the
-            # trash slot) so every launch reuses a compiled executable
-            total = t_out.shape[0]
-            sizes = _chunk_sizes(total, wide_batch)
-            pad = sum(sizes) - total
-            if pad:
-                t_slots = np.concatenate([t_slots, np.zeros((pad, 3), np.int32)])
-                t_coefs = np.concatenate([t_coefs, np.zeros((pad, 3), np.int32)])
-                t_consts = np.concatenate([t_consts, np.zeros(pad, np.int32)])
-                t_lut = np.concatenate([t_lut, np.full(pad, -1, np.int32)])
-                t_out = np.concatenate(
-                    [t_out, np.full(pad, circuit.num_slots - 1, np.int32)])
-            c0 = 0
-            for w in sizes:
-                sl = slice(c0, c0 + w)
-                c0 += w
-                slab = self._level_jit(
-                    self._key_args, slab, luts,
-                    jnp.asarray(t_slots[sl]), jnp.asarray(t_coefs[sl]),
-                    jnp.asarray(t_consts[sl]), jnp.asarray(t_lut[sl]),
-                    jnp.asarray(t_out[sl]),
-                )
+        luts = self._device_luts(circuit)
+        for dev in self._device_chunks_many(circuit, C, wide_batch):
+            slab = self._level_jit(self._key_args, slab, luts, *dev)
         dt = U32 if tb == 32 else np.uint64
         out = np.zeros((C, params.num_blocks, n1), dt)
         val = circuit.root.val
