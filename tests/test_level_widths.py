@@ -4,13 +4,12 @@ min_bucket the TPU path uses."""
 
 import numpy as np
 
-from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+from fhe_regex_tpu import decrypt, trivial_encrypt_str
 from fhe_regex_tpu.params import TEST_PARAMS
 from fhe_regex_tpu.regex.engine import compile_match
 from fhe_regex_tpu.regex.executor import (MAX_LEVEL_BATCH, SMALL_LEVEL_BATCH,
                                           WIDE_LEVEL_BATCH, Executor,
                                           _chunk_sizes, compile_circuit)
-from fhe_regex_tpu.crypto.keys import gen_keys
 from fhe_regex_tpu.ops.pbs import prepare_server_key
 
 

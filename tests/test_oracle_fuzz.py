@@ -139,7 +139,6 @@ def test_fuzz_noisy_encrypted_vs_oracle(seed, noisy_keys):
     """Same oracle check through REAL (noisy) encryption — validates the
     noise path end-to-end, not just the trivial-ciphertext logic."""
     from fhe_regex_tpu import encrypt_str
-    from fhe_regex_tpu.params import TEST_PARAMS_NOISY
 
     ck, sk = noisy_keys
     rng = random.Random(7000 + seed)
