@@ -44,6 +44,30 @@ def test_has_match_on_mesh(keys):
         assert decrypt(ck, res) == exp, (content, pattern)
 
 
+def test_run_many_on_mesh(keys):
+    """Serving fast path (run_many) with the level batch sharded across the
+    8-device mesh, in both chunk plans."""
+    from fhe_regex_tpu import decrypt, trivial_encrypt_str
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import (SMALL_LEVEL_BATCH, Executor,
+                                              compile_circuit)
+
+    P = TEST_PARAMS
+    ck, sk = keys
+    mesh = make_mesh(8)
+    contents = ["xxabcxxx", "xxaqcxxx", "abcabcab", "xxxxxxxx"]
+    want = [1, 0, 1, 0]
+    builder, root = compile_match(8, "/abc/", P.num_blocks, fold="tree")
+    circuit = compile_circuit(P, builder, root, min_bucket=SMALL_LEVEL_BATCH)
+    ex = Executor(P, prepare_server_key(P, sk, "jnp"), mesh=mesh)
+    cts = np.stack([trivial_encrypt_str(P, c) for c in contents])
+    for wide in (False, True):
+        res = ex.run_many(circuit, cts, wide_batch=wide)
+        got = [decrypt(ck, res[i]) for i in range(len(contents))]
+        assert got == want, (wide, got)
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
