@@ -352,7 +352,8 @@ def prepare_bsk_fused_raw(params: Params, bsk: np.ndarray,
 
 
 def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
-                           digits_sc, bank_sc, *, k1: int, level: int,
+                           digits_sc, bank_sc, lut_sc, lut_sem, *, k1: int,
+                           level: int,
                            base_log: int, torus_bits: int, tiles: int,
                            width: int, tb: int, matmul_dtype,
                            limbs=(0, 1, 2, 3), stack_rows: bool = False,
@@ -364,6 +365,9 @@ def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
     per-instance LUT, r0_ref [B, 1] the initial rotation).  Building acc0
     in-kernel instead of passing a [B, k1*N] input block frees that block's
     VMEM for the whole rotation — the headroom that admits larger batches.
+    lutsel_ref stays in HBM (pl.ANY) and is DMA-staged [tb, N] at a time
+    into lut_sc only at cell (0, 0) — a VMEM-resident [B, N] input block
+    would cost B*N*4 bytes for the whole rotation to serve one cell.
 
     Cell (i, 0): stage 1 — for each component (static loop), negacyclic-
     rotate out_ref's component slice by a~_i (log2(2N) conditional rolls,
@@ -399,7 +403,11 @@ def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
         for comp in range(k1 - 1):
             out_ref[:, comp * N:(comp + 1) * N] = jnp.zeros((B, N), I32)
         for b0 in range(0, B, tb):
-            x = lutsel_ref[b0:b0 + tb, :]
+            cp = pltpu.make_async_copy(
+                lutsel_ref.at[pl.ds(b0, tb), :], lut_sc, lut_sem)
+            cp.start()
+            cp.wait()
+            x = lut_sc[:, :]
             rr = r0_ref[b0:b0 + tb, :]
             col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
             rot = x
@@ -557,8 +565,7 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                           bank_split=bank_split),
         grid=(n, k1),
         in_specs=[
-            pl.BlockSpec((B, N), lambda i, c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # lut stays in HBM (DMA'd)
             pl.BlockSpec((B, 1), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
@@ -574,7 +581,9 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                         pltpu.VMEM((4 * rows * TILE, W), jnp.int8)
                         if bank_split else
                         pltpu.VMEM(((rows if stack_rows else 1) * TILE, W),
-                                   jnp.int32)],
+                                   jnp.int32),
+                        pltpu.VMEM((tb, N), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
         # 127M: B=1792 needs 122.7M of kernel stack (the chip has 128M);
         # the default 120M cap was the binding term, not the hardware
         compiler_params=pltpu.CompilerParams(
@@ -646,19 +655,31 @@ def prepare_bsk_fused64_raw(params: Params, bsk: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(q.reshape(n * k1 * rp, -1))
 
 
-def _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref, *, k1: int,
-                N: int, tb: int):
+def _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref, lut_sc,
+                lut_sem, *, k1: int, N: int, tb: int):
     """Build the initial 64-bit accumulator in-kernel at cell (0, 0): mask
     components zero, body = X^{-b~} * lut on (lo, hi) int32 limb pairs.
     Shares the conditional-roll negacyclic rotation with stage 1; frees the
-    [B, k1*2*N] acc0 input block's VMEM for the whole rotation."""
+    [B, k1*2*N] acc0 input block's VMEM for the whole rotation.  The LUT
+    limb inputs stay in HBM (pl.ANY) and are DMA-staged [tb, N] at a time
+    through lut_sc [2*tb, N] (lo rows first, then hi)."""
     B = out_ref.shape[0]
     for comp in range(k1 - 1):
         out_ref[:, (comp * 2) * N:(comp * 2 + 2) * N] = (
             jnp.zeros((B, 2 * N), I32))
     for b0 in range(0, B, tb):
-        lo = lutsel_lo_ref[b0:b0 + tb, :]
-        hi = lutsel_hi_ref[b0:b0 + tb, :]
+        cp = pltpu.make_async_copy(
+            lutsel_lo_ref.at[pl.ds(b0, tb), :], lut_sc.at[pl.ds(0, tb), :],
+            lut_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            lutsel_hi_ref.at[pl.ds(b0, tb), :], lut_sc.at[pl.ds(tb, tb), :],
+            lut_sem)
+        cp.start()
+        cp.wait()
+        lo = lut_sc[0:tb, :]
+        hi = lut_sc[tb:2 * tb, :]
         a = r0_ref[b0:b0 + tb, :]
         col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
         rlo, rhi = lo, hi
@@ -683,7 +704,8 @@ def _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref, *, k1: int,
 
 def _fused_blindrot64_stacked_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                                      avals_ref, quad_ref, out_ref,
-                                     digits_sc, bank_sc, *, k1: int,
+                                     digits_sc, bank_sc, lut_sc, lut_sem,
+                                     *, k1: int,
                                      level: int, base_log: int, tiles: int,
                                      width: int, tb: int, nd: int):
     """Deep-K 64-bit blind rotation cell (grid (n, k1), c innermost).
@@ -712,7 +734,7 @@ def _fused_blindrot64_stacked_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
     @pl.when((i == 0) & (c == 0))
     def _():
         _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref,
-                    k1=k1, N=N, tb=tb)
+                    lut_sc, lut_sem, k1=k1, N=N, tb=tb)
 
     # ---- stage 1: rotate, diff, decompose, digit limbs (tau-major) ----
     @pl.when(c == 0)
@@ -854,7 +876,8 @@ def _fused_blindrot64_stacked_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
 
 def _fused_blindrot64_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                              avals_ref, quad_ref, out_ref,
-                             digits_sc, bank_sc, *, k1: int, level: int,
+                             digits_sc, bank_sc, lut_sc, lut_sem,
+                             *, k1: int, level: int,
                              base_log: int, tiles: int, width: int, tb: int,
                              nd: int):
     """grid = (n, k1), c innermost.  out_ref [B, k1*2*N] IS the accumulator,
@@ -872,7 +895,7 @@ def _fused_blindrot64_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
     @pl.when((i == 0) & (c == 0))
     def _():
         _acc64_init(lutsel_lo_ref, lutsel_hi_ref, r0_ref, out_ref,
-                    k1=k1, N=N, tb=tb)
+                    lut_sc, lut_sem, k1=k1, N=N, tb=tb)
 
     # ---- stage 1 on limb pairs: rotate, diff, decompose, digit limbs ----
     @pl.when(c == 0)
@@ -1027,10 +1050,8 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
         kern,
         grid=(n, k1),
         in_specs=[
-            pl.BlockSpec((B, N), lambda i, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, N), lambda i, c: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # lut lo in HBM (DMA'd)
+            pl.BlockSpec(memory_space=pl.ANY),   # lut hi in HBM (DMA'd)
             pl.BlockSpec((B, 1), lambda i, c: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 1), lambda i, c: (i, 0, 0),
@@ -1042,7 +1063,9 @@ def blind_rotate_fused64(params: Params, bsk8f, luts_lo, luts_hi, lut_idx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, k1 * 2 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, rows * nd * N), jnp.int8),
-                        pltpu.VMEM(bank_shape, bank_dtype)],
+                        pltpu.VMEM(bank_shape, bank_dtype),
+                        pltpu.VMEM((2 * tb, N), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
         interpret=(jax.default_backend() != "tpu"),
