@@ -32,7 +32,7 @@ from fhe_regex_tpu.params import TEST_PARAMS, TPU_MESSAGE_2_CARRY_2
 def main():
     on_tpu = jax.default_backend() == "tpu"
     params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
-    B = 1024 if on_tpu else 8
+    B = int(os.environ.get("BENCH_BATCH", "1792" if on_tpu else "8"))
     ck, sk = _get_keys(params)
     dev = prepare_server_key(params, sk, "pallas-fused")
 
