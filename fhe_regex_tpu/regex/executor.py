@@ -303,29 +303,48 @@ class Executor:
         return dl
 
     def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray,
-            profile: bool = False) -> np.ndarray:
+            profile: bool = False, checkpoint: "str | None" = None,
+            checkpoint_every: int = 0,
+            resume: "str | None" = None) -> np.ndarray:
         """content_blocks: [len, num_blocks, n+1] uint32 -> radix result
         [num_blocks, n+1] uint32.
 
         With profile=True each level is synchronized and timed; per-level
         stats land in ``self.last_run_stats`` (the TPU-side analog of the
         reference's ct-op logging, SURVEY.md §5).
+
+        checkpoint/resume (SURVEY.md §5 — the persistence the reference
+        lacks): with ``checkpoint`` + ``checkpoint_every=k``, the slab is
+        saved to that path every k levels (and can also be written by a
+        crash handler); ``resume=path`` restores a saved slab and continues
+        from its recorded level (content_blocks is then ignored — the
+        restored slab already contains the encrypted content rows).
         """
         import time
+
+        from fhe_regex_tpu.utils.checkpoint import load_slab, save_slab
 
         params = self.params
         n1 = params.lwe_dimension + 1
         tb = params.torus_bits
-        shape = (circuit.num_slots, n1) if tb == 32 else (circuit.num_slots, n1, 2)
-        # build the slab on device: only the content rows cross the host
-        # link (the remote-TPU tunnel makes full-slab transfers expensive)
-        slab = jnp.zeros(shape, np.int32)
-        if content_blocks.size:
-            flat = _np_to_limbs(content_blocks.reshape(-1, n1), tb)
-            slab = slab.at[1:1 + flat.shape[0]].set(jnp.asarray(flat))
+        start_level = 0
+        if resume is not None:
+            slab_np, start_level = load_slab(resume)
+            slab = jnp.asarray(slab_np)
+        else:
+            shape = (circuit.num_slots, n1) if tb == 32 else (
+                circuit.num_slots, n1, 2)
+            # build the slab on device: only the content rows cross the host
+            # link (the remote-TPU tunnel makes full-slab transfers expensive)
+            slab = jnp.zeros(shape, np.int32)
+            if content_blocks.size:
+                flat = _np_to_limbs(content_blocks.reshape(-1, n1), tb)
+                slab = slab.at[1:1 + flat.shape[0]].set(jnp.asarray(flat))
         luts = self._device_luts(circuit)
         stats = []
-        for lv, dev in zip(circuit.levels, self._device_levels(circuit)):
+        devs = self._device_levels(circuit)
+        for li in range(start_level, len(circuit.levels)):
+            lv, dev = circuit.levels[li], devs[li]
             t0 = time.time() if profile else 0.0
             slab = self._level_jit(self._key_args, slab, luts, *dev)
             if profile:
@@ -333,6 +352,10 @@ class Executor:
                 stats.append({"width": int(lv.lut_idx.shape[0]),
                               "active": int((lv.lut_idx >= 0).sum()),
                               "seconds": time.time() - t0})
+            if (checkpoint is not None and checkpoint_every > 0
+                    and (li + 1) % checkpoint_every == 0
+                    and li + 1 < len(circuit.levels)):
+                save_slab(checkpoint, np.asarray(slab), li + 1)
         self.last_run_stats = stats
         return self._finalize(circuit, slab)
 

@@ -98,3 +98,35 @@ def test_resume_mid_circuit(keys):
     resumed = ex._finalize(circuit, slab)
     assert np.array_equal(resumed, full)
     assert decrypt(ck, resumed) == 1
+
+
+def test_executor_checkpoint_resume(tmp_path, keys):
+    """Executor.run with mid-circuit checkpointing, resumed from the saved
+    slab, decrypts identically to an uninterrupted run."""
+    from fhe_regex_tpu import decrypt
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    P = TEST_PARAMS
+    content = "xxabcxxx"
+    builder, root = compile_match(len(content), "/ab?c/", P.num_blocks,
+                                  fold="tree")
+    circuit = compile_circuit(P, builder, root)
+    assert len(circuit.levels) >= 3
+    ex = Executor(P, prepare_server_key(P, sk, "jnp"))
+    ct = np.ascontiguousarray(trivial_encrypt_str(P, content))
+
+    plain = ex.run(circuit, ct)
+
+    cp = tmp_path / "run.npz"
+    chk = ex.run(circuit, ct, checkpoint=str(cp), checkpoint_every=2)
+    assert np.array_equal(chk, plain)
+    assert cp.exists()
+
+    _, lvl = load_slab(cp)
+    assert 0 < lvl < len(circuit.levels)
+    resumed = ex.run(circuit, ct, resume=str(cp))
+    assert np.array_equal(resumed, plain)
+    assert decrypt(ck, resumed) == 1
