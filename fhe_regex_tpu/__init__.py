@@ -39,6 +39,8 @@ __all__ = [
     "trivial_encrypt_str",
     "has_match",
     "has_match_many",
+    "has_match_patterns",
+    "has_match_many_patterns",
     "decrypt",
     "compile_match",
     "BranchBudgetExceeded",
@@ -173,6 +175,87 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
     logger.info(
         "%d contents x (%d ops, %d bootstraps in %d levels)",
         contents.shape[0], circuit.ct_ops, circuit.pbs_count, len(circuit.levels),
+    )
+    return result
+
+
+def _compile_multi(params: Params, content_len: int, patterns,
+                   fold: str, engine: Optional[str],
+                   branch_budget: Optional[int]):
+    patterns = list(patterns)
+    if not patterns:
+        raise ValueError("need at least one pattern")
+    if engine is None:
+        from fhe_regex_tpu.regex.native import available
+        engine = "native" if available() else "python"
+    if engine == "native":
+        from fhe_regex_tpu.regex.native import compile_match_native_multi
+        return compile_match_native_multi(
+            content_len, patterns, num_blocks=params.num_blocks, fold=fold,
+            branch_budget=branch_budget)
+    from fhe_regex_tpu.regex.engine import compile_match_multi
+    return compile_match_multi(content_len, patterns,
+                               num_blocks=params.num_blocks, fold=fold,
+                               branch_budget=branch_budget)
+
+
+def has_match_patterns(server_key: ServerKey, ct_content: np.ndarray,
+                       patterns, backend: Optional[str] = None, mesh=None,
+                       fold: str = "tree", engine: Optional[str] = None,
+                       branch_budget: Optional[int] = None) -> np.ndarray:
+    """Match MANY patterns against one encrypted content in one circuit.
+
+    All patterns share a single hash-consed op DAG, so subexpressions common
+    across patterns (per-position comparisons, shared prefixes/classes) are
+    bootstrapped once — the cross-pattern generalization of the reference's
+    per-call memo cache (execution.rs:212-222).  Returns one radix ciphertext
+    per pattern, `[P, num_blocks, n+1]`, in pattern order; decrypt each with
+    ``decrypt``.
+    """
+    from fhe_regex_tpu.regex.executor import default_min_bucket
+
+    params = server_key.params
+    builder, roots = _compile_multi(params, len(ct_content), patterns,
+                                    fold, engine, branch_budget)
+    min_bucket = default_min_bucket()
+    if mesh is not None:
+        min_bucket = max(min_bucket, int(mesh.devices.size))
+    circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket)
+    executor = _executor_for(server_key, backend, mesh)
+    result = executor.run(circuit, np.ascontiguousarray(ct_content))
+    logger.info(
+        "%d patterns: %d ciphertext operations, %d cache hits "
+        "(%d bootstraps in %d levels)",
+        len(roots), circuit.ct_ops, circuit.cache_hits, circuit.pbs_count,
+        len(circuit.levels),
+    )
+    return result
+
+
+def has_match_many_patterns(server_key: ServerKey, ct_contents, patterns,
+                            backend: Optional[str] = None, fold: str = "tree",
+                            engine: Optional[str] = None,
+                            branch_budget: Optional[int] = None,
+                            wide_batch: Optional[bool] = None) -> np.ndarray:
+    """Match MANY patterns against MANY equal-length encrypted contents.
+
+    The full serving cross product in one compiled circuit: pattern-shared
+    subexpressions are bootstrapped once per content, and every level's
+    bootstrap batch spans all contents.  Returns `[C, P, num_blocks, n+1]`.
+    """
+    params = server_key.params
+    contents = np.ascontiguousarray(ct_contents)
+    if contents.ndim != 4:
+        raise ValueError("expected [C, len, num_blocks, n+1] contents")
+    builder, roots = _compile_multi(params, contents.shape[1], patterns,
+                                    fold, engine, branch_budget)
+    circuit = compile_circuit(params, builder, roots)
+    executor = _executor_for(server_key, backend)
+    result = executor.run_many(circuit, contents, wide_batch=wide_batch)
+    logger.info(
+        "%d contents x %d patterns (%d ops, %d bootstraps in %d levels)",
+        contents.shape[0], len(roots), circuit.ct_ops, circuit.pbs_count,
+        len(circuit.levels),
     )
     return result
 

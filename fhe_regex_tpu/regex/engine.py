@@ -182,6 +182,24 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int,
     raise ValueError(f"unmatched regex variant: {re!r}")
 
 
+def _fold_pattern(builder: CircuitBuilder, content_len: int, pattern: str,
+                  budget: BranchBudget) -> Node:
+    """Enumerate one pattern's branches onto `builder` and OR-fold them
+    (engine.rs:15-35); returns the forced root bit."""
+    re = parse(pattern)
+    branches: List[LazyExecution] = []
+    for i in range(content_len):
+        branches.extend(b for b, _ in build_branches(content_len, re, i, budget))
+    if len(branches) <= 1:
+        res = branches[0](builder) if branches else builder.ct_false()
+    else:
+        res = branches[0](builder)
+        for branch in branches[1:]:
+            branch_res = branch(builder)
+            res = builder.ct_or(res, branch_res)
+    return builder.force_node(res)
+
+
 def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
                   fold: str = "reference",
                   branch_budget: Optional[int] = None) -> Tuple[CircuitBuilder, Node]:
@@ -200,22 +218,36 @@ def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
     """
     if fold not in ("reference", "tree"):
         raise ValueError(f"unknown fold mode {fold!r}")
-    re = parse(pattern)
-    budget = BranchBudget(branch_budget)
-    branches: List[LazyExecution] = []
-    for i in range(content_len):
-        branches.extend(b for b, _ in build_branches(content_len, re, i, budget))
-
     # 'tree' uses the optimizing builder: associative and/or chains are
     # collected flat and materialized as balanced 3-ary LUT trees —
     # log-depth circuits, ~2x fewer bootstraps, identical decrypted bits.
     builder = CircuitBuilder(content_len, num_blocks=num_blocks,
                              mode="opt" if fold == "tree" else "strict")
-    if len(branches) <= 1:
-        res = branches[0](builder) if branches else builder.ct_false()
-    else:
-        res = branches[0](builder)
-        for branch in branches[1:]:
-            branch_res = branch(builder)
-            res = builder.ct_or(res, branch_res)
-    return builder, builder.force_node(res)
+    root = _fold_pattern(builder, content_len, pattern,
+                         BranchBudget(branch_budget))
+    return builder, root
+
+
+def compile_match_multi(content_len: int, patterns: List[str],
+                        num_blocks: int = 4, fold: str = "tree",
+                        branch_budget: Optional[int] = None
+                        ) -> Tuple[CircuitBuilder, List[Node]]:
+    """Compile MANY patterns against one content length into ONE circuit.
+
+    All patterns share a single hash-consed builder, so identical
+    subexpressions (per-position char comparisons, shared prefixes,
+    materialized gate trees) are computed once and reused across patterns —
+    the cross-pattern generalization of the reference's memo cache (Q11),
+    which only ever spans one `has_match` call (execution.rs:37-43).
+
+    Returns the shared builder and one forced root Node per pattern, in
+    pattern order.  `branch_budget` is charged per pattern (same
+    accept/reject threshold as compiling each pattern alone).
+    """
+    if fold not in ("reference", "tree"):
+        raise ValueError(f"unknown fold mode {fold!r}")
+    builder = CircuitBuilder(content_len, num_blocks=num_blocks,
+                             mode="opt" if fold == "tree" else "strict")
+    roots = [_fold_pattern(builder, content_len, p, BranchBudget(branch_budget))
+             for p in patterns]
+    return builder, roots

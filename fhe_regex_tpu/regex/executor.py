@@ -53,10 +53,17 @@ class CompiledCircuit:
     root: Node
     ct_ops: int
     cache_hits: int
+    # multi-root circuits (compile_match_multi / multi-pattern serving):
+    # roots[i] is pattern i's result bit; None for single-root circuits.
+    roots: "List[Node] | None" = None
 
     @property
     def pbs_count(self) -> int:
         return sum(int((lv.lut_idx >= 0).sum()) for lv in self.levels)
+
+    @property
+    def all_roots(self) -> List[Node]:
+        return self.roots if self.roots is not None else [self.root]
 
 
 MAX_LEVEL_BATCH = 256   # largest PBS batch one compiled-circuit level uses
@@ -152,9 +159,19 @@ def _bucket(w: int, min_bucket: int = 8) -> int:
     return b
 
 
-def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
+def compile_circuit(params: Params, builder: CircuitBuilder,
+                    root: "Node | List[Node]",
                     min_bucket: int = 8,
                     max_batch: int = MAX_LEVEL_BATCH) -> CompiledCircuit:
+    """Level-schedule a builder's op DAG.  `root` may be one Node or a list
+    of them (multi-pattern circuits); `run`/`run_many` then return one
+    result row per root."""
+    roots: "List[Node] | None" = None
+    if isinstance(root, (list, tuple)):
+        roots = list(root)
+        if not roots:
+            raise ValueError("need at least one root")
+        root = roots[0]
     lut_ids: Dict[LutKey, int] = {}
     for op in builder.ops:
         if op.lut not in lut_ids:
@@ -211,6 +228,7 @@ def compile_circuit(params: Params, builder: CircuitBuilder, root: Node,
         root=root,
         ct_ops=builder.ct_ops,
         cache_hits=builder.cache_hits,
+        roots=roots,
     )
 
 
@@ -458,24 +476,44 @@ class Executor:
         for dev in self._device_chunks_many(circuit, C, wide_batch):
             slab = self._level_jit(self._key_args, slab, luts, *dev)
         dt = U32 if tb == 32 else np.uint64
-        out = np.zeros((C, params.num_blocks, n1), dt)
-        val = circuit.root.val
-        if val.sign == 0:
-            root_rows = None
-        else:
-            # download ONLY the C root rows, not the C*S-slot slab
-            ridx = np.arange(C, dtype=np.int32) * S + val.slot
-            root_rows = np.asarray(slab[jnp.asarray(ridx)])
+        roots = circuit.all_roots
+        R = len(roots)
+        out = np.zeros((C, R, params.num_blocks, n1), dt)
+        # download ONLY the C x (non-const roots) rows, not the C*S-slot slab
+        slots = [r.val.slot for r in roots if r.val.sign != 0]
+        if slots:
+            ridx = (np.arange(C, dtype=np.int32)[:, None] * S
+                    + np.asarray(slots, np.int32)[None, :]).reshape(-1)
+            rows = np.asarray(slab[jnp.asarray(ridx)]).reshape(
+                (C, len(slots)) + slab.shape[1:])
         for ci in range(C):
-            ct_u = (None if val.sign == 0
-                    else _limbs_to_np(root_rows[ci], tb))
-            out[ci] = _assemble_root(params, val, ct_u)
-        return out
+            ri = 0
+            for pi, r in enumerate(roots):
+                val = r.val
+                if val.sign == 0:
+                    out[ci, pi] = _assemble_root(params, val, None)
+                else:
+                    out[ci, pi] = _assemble_root(
+                        params, val, _limbs_to_np(rows[ci, ri], tb))
+                    ri += 1
+        return out[:, 0] if circuit.roots is None else out
 
     def _finalize(self, circuit: CompiledCircuit, slab) -> np.ndarray:
+        """Single root -> [num_blocks, n+1]; multi-root -> [R, num_blocks, n+1].
+
+        Only the root rows are downloaded (one gather), never the slab."""
         params = self.params
-        val: BitVal = circuit.root.val
-        if val.sign == 0:
-            return _assemble_root(params, val, None)
-        ct_u = _limbs_to_np(np.asarray(slab[val.slot]), params.torus_bits)
-        return _assemble_root(params, val, ct_u)
+        roots = circuit.all_roots
+        slots = [r.val.slot for r in roots if r.val.sign != 0]
+        rows = (np.asarray(slab[jnp.asarray(np.asarray(slots, np.int32))])
+                if slots else None)
+        outs, ri = [], 0
+        for r in roots:
+            val: BitVal = r.val
+            if val.sign == 0:
+                outs.append(_assemble_root(params, val, None))
+            else:
+                ct_u = _limbs_to_np(rows[ri], params.torus_bits)
+                ri += 1
+                outs.append(_assemble_root(params, val, ct_u))
+        return outs[0] if circuit.roots is None else np.stack(outs)

@@ -40,6 +40,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ]
+        lib.circuit_compile_multi.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.circuit_compile_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int64,
+        ]
         lib.circuit_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     return _lib
@@ -154,7 +160,16 @@ def compile_match_native(content_len: int, pattern: str, num_blocks: int = 4,
     finally:
         lib.circuit_free(blob)
 
-    ops = [
+    builder = NativeCompiled(
+        content_len=content_len, num_blocks=num_blocks,
+        num_content_slots=num_content_slots, ops=_ops_from_records(rec),
+        ct_ops=ct_ops, cache_hits=cache_hits,
+    )
+    return builder, Node(expr=("native",), val=root)
+
+
+def _ops_from_records(rec: np.ndarray) -> List[PbsOp]:
+    return [
         PbsOp(
             in_slots=(int(r[0]), int(r[1]), int(r[2])),
             in_coefs=(int(r[3]), int(r[4]), int(r[5])),
@@ -165,9 +180,59 @@ def compile_match_native(content_len: int, pattern: str, num_blocks: int = 4,
         )
         for r in rec
     ]
+
+
+def _read_i64(blob, off: int, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    return np.ctypeslib.as_array(
+        ctypes.cast(ctypes.addressof(blob.contents) + off * 8,
+                    ctypes.POINTER(ctypes.c_int64)),
+        shape=(n,)).copy()
+
+
+def compile_match_native_multi(content_len: int, patterns: List[str],
+                               num_blocks: int = 4, fold: str = "tree",
+                               branch_budget: Optional[int] = None
+                               ) -> Tuple[NativeCompiled, List[Node]]:
+    """Native counterpart of engine.compile_match_multi: many patterns on one
+    shared hash-consed circuit (byte-exact vs the Python builder, enforced by
+    tests/test_native_circuit.py).  Budget is charged per pattern."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native/libfheregex.so not built (make -C native)")
+    asts = [serialize_ast(parse(p)) for p in patterns]
+    lens = np.asarray([len(a) for a in asts], np.int32)
+    cat = (np.concatenate(asts) if asts else np.zeros((0,), np.int32))
+    mode = 1 if fold == "tree" else 0
+    blob = lib.circuit_compile_multi(
+        cat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(patterns), content_len, num_blocks, mode,
+        -1 if branch_budget is None else branch_budget)
+    try:
+        n_ops = int(blob[0])
+        if n_ops < 0:
+            from fhe_regex_tpu.regex.engine import BranchBudgetExceeded
+            raise BranchBudgetExceeded(
+                f"a pattern expands to more than {branch_budget} circuit "
+                f"branch nodes; raise branch_budget or simplify the pattern")
+        ct_ops, cache_hits = int(blob[1]), int(blob[2])
+        n_roots = int(blob[3])
+        num_content_slots = int(blob[4])
+        rvals = _read_i64(blob, 5, n_roots * 3).reshape(n_roots, 3)
+        rec = _read_i64(blob, 5 + n_roots * 3, n_ops * 11).reshape(n_ops, 11)
+    finally:
+        lib.circuit_free(blob)
+    roots = [
+        Node(expr=("native", i),
+             val=BitVal(const=int(c), sign=int(s),
+                        slot=(None if int(s) == 0 else int(sl))))
+        for i, (c, s, sl) in enumerate(rvals)
+    ]
     builder = NativeCompiled(
         content_len=content_len, num_blocks=num_blocks,
-        num_content_slots=num_content_slots, ops=ops,
+        num_content_slots=num_content_slots, ops=_ops_from_records(rec),
         ct_ops=ct_ops, cache_hits=cache_hits,
     )
-    return builder, Node(expr=("native",), val=root)
+    return builder, roots

@@ -552,6 +552,34 @@ struct CompileResult {
     int num_slots;
 };
 
+// Enumerate one pattern's branches and OR-fold them on a (possibly shared)
+// builder — the C++ twin of engine.py::_fold_pattern.  Throws
+// BranchBudgetExceeded.
+NodeV fold_pattern(Builder& bld, const Ast* re, int content_len, Budget& bu) {
+    std::vector<Branch> branches;
+    for (int i = 0; i < content_len; i++)
+        build_branches(content_len, re, i, branches, bu);
+    if (branches.empty()) return bld.ct_false();
+    NodeV res = run_lazy(bld, branches[0].first.get());
+    for (size_t i = 1; i < branches.size(); i++) {
+        NodeV br = run_lazy(bld, branches[i].first.get());
+        res = bld.gate(1, res, br);
+    }
+    return res;
+}
+
+void write_ops(int64_t* q, const Builder& bld) {
+    for (auto& op : bld.ops) {
+        for (int i = 0; i < 3; i++) *q++ = op.in_slots[i];
+        for (int i = 0; i < 3; i++) *q++ = op.in_coefs[i];
+        *q++ = op.konst;
+        *q++ = op.lut_kind;
+        *q++ = op.lut_c;
+        *q++ = op.out_slot;
+        *q++ = op.level;
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -572,28 +600,14 @@ int64_t* circuit_compile(const int32_t* ast, int32_t ast_len,
     (void)ast_len;
 
     Budget bu{branch_budget < 0 ? -1 : branch_budget};
-    std::vector<Branch> branches;
+    Builder bld(content_len, num_blocks, mode);
+    NodeV res{};
     try {
-        for (int i = 0; i < content_len; i++)
-            build_branches(content_len, re, i, branches, bu);
+        res = fold_pattern(bld, re, content_len, bu);
     } catch (const BranchBudgetExceeded&) {
         int64_t* out = (int64_t*)std::calloc(7, sizeof(int64_t));
         out[0] = -1;
         return out;
-    }
-
-    Builder bld(content_len, num_blocks, mode);
-    NodeV res{};
-    if (branches.empty()) {
-        res = bld.ct_false();
-    } else if (branches.size() == 1) {
-        res = run_lazy(bld, branches[0].first.get());
-    } else {
-        res = run_lazy(bld, branches[0].first.get());
-        for (size_t i = 1; i < branches.size(); i++) {
-            NodeV br = run_lazy(bld, branches[i].first.get());
-            res = bld.gate(1, res, br);
-        }
     }
     BitVal root = bld.force(res.val);
 
@@ -606,16 +620,57 @@ int64_t* circuit_compile(const int32_t* ast, int32_t ast_len,
     out[4] = root.sign;
     out[5] = root.slot;
     out[6] = bld.num_content_slots;
-    int64_t* q = out + 7;
-    for (auto& op : bld.ops) {
-        for (int i = 0; i < 3; i++) *q++ = op.in_slots[i];
-        for (int i = 0; i < 3; i++) *q++ = op.in_coefs[i];
-        *q++ = op.konst;
-        *q++ = op.lut_kind;
-        *q++ = op.lut_c;
-        *q++ = op.out_slot;
-        *q++ = op.level;
+    write_ops(out + 7, bld);
+    return out;
+}
+
+// Compile MANY patterns into ONE shared hash-consed circuit (the C++ twin of
+// engine.py::compile_match_multi).  `asts` is the concatenation of each
+// pattern's int32 pre-order encoding; `ast_lens[i]` its length.  The branch
+// budget is charged per pattern (fresh budget each), matching the Python
+// engine.  Blob layout: int64 header [n_ops, ct_ops, cache_hits, n_roots,
+// num_content_slots] then n_roots x (const, sign, slot) int64 triples, then
+// the op records (11 int64 each, as circuit_compile).  Budget exceed ->
+// header[0] = -1.
+int64_t* circuit_compile_multi(const int32_t* asts, const int32_t* ast_lens,
+                               int32_t n_patterns, int32_t content_len,
+                               int32_t num_blocks,
+                               int32_t mode /*0 strict, 1 opt*/,
+                               int64_t branch_budget) {
+    Builder bld(content_len, num_blocks, mode);
+    std::vector<BitVal> roots;
+    const int32_t* p = asts;
+    for (int32_t i = 0; i < n_patterns; i++) {
+        Arena arena;
+        const int32_t* q = p;
+        const Ast* re = parse_ast(q, arena);
+        p += ast_lens[i];
+        Budget bu{branch_budget < 0 ? -1 : branch_budget};
+        try {
+            NodeV res = fold_pattern(bld, re, content_len, bu);
+            roots.push_back(bld.force(res.val));
+        } catch (const BranchBudgetExceeded&) {
+            int64_t* out = (int64_t*)std::calloc(5, sizeof(int64_t));
+            out[0] = -1;
+            return out;
+        }
     }
+    size_t n = bld.ops.size();
+    size_t nr = roots.size();
+    int64_t* out =
+        (int64_t*)std::malloc((5 + nr * 3 + n * 11) * sizeof(int64_t));
+    out[0] = (int64_t)n;
+    out[1] = bld.ct_ops;
+    out[2] = bld.cache_hits;
+    out[3] = (int64_t)nr;
+    out[4] = bld.num_content_slots;
+    int64_t* q = out + 5;
+    for (auto& r : roots) {
+        *q++ = r.konst;
+        *q++ = r.sign;
+        *q++ = r.slot;
+    }
+    write_ops(q, bld);
     return out;
 }
 
