@@ -77,6 +77,63 @@ class CompiledPattern:
         }
 
 
+class CompiledPatternSet:
+    """Many patterns AOT-compiled onto ONE shared circuit, cached per
+    content length (the multi-root counterpart of CompiledPattern).
+
+    Cross-pattern hash-consing means shared subexpressions bootstrap once;
+    `match` returns one radix ciphertext per pattern, in order."""
+
+    def __init__(self, patterns, params: Optional[Params] = None,
+                 min_bucket: Optional[int] = None, fold: str = "tree",
+                 engine: Optional[str] = None,
+                 branch_budget: Optional[int] = None):
+        self.patterns = list(patterns)
+        if not self.patterns:
+            raise ValueError("need at least one pattern")
+        self.params = params or get_params()
+        self.min_bucket = min_bucket
+        self.fold = fold
+        self.engine = engine
+        self.branch_budget = branch_budget
+        for p in self.patterns:
+            parse(p)  # early validation (mirrors main.rs:17-20)
+        self._circuits: Dict[int, CompiledCircuit] = {}
+
+    def circuit(self, content_len: int) -> CompiledCircuit:
+        if content_len not in self._circuits:
+            from fhe_regex_tpu import _compile_multi
+            from fhe_regex_tpu.regex.executor import default_min_bucket
+
+            builder, roots = _compile_multi(
+                self.params, content_len, self.patterns, self.fold,
+                self.engine, self.branch_budget)
+            self._circuits[content_len] = compile_circuit(
+                self.params, builder, roots,
+                min_bucket=self.min_bucket or default_min_bucket())
+        return self._circuits[content_len]
+
+    def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
+        """-> [P, num_blocks, n+1], one encrypted bit per pattern."""
+        return executor.run(self.circuit(len(ct_content)),
+                            np.ascontiguousarray(ct_content))
+
+    def match_many(self, executor, ct_contents: np.ndarray) -> np.ndarray:
+        """-> [C, P, num_blocks, n+1]."""
+        return executor.run_many(self.circuit(ct_contents.shape[1]),
+                                 np.ascontiguousarray(ct_contents))
+
+    def stats(self, content_len: int) -> dict:
+        c = self.circuit(content_len)
+        return {
+            "patterns": len(self.patterns),
+            "ct_ops": c.ct_ops,
+            "cache_hits": c.cache_hits,
+            "bootstraps": c.pbs_count,
+            "levels": len(c.levels),
+        }
+
+
 # The 5 driver benchmark configurations (BASELINE.json "configs")
 DRIVER_CONFIGS = [
     {"name": "exact_literal", "pattern": "/^abc$/", "content_len": 3},

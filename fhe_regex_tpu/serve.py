@@ -20,6 +20,10 @@ buffer + shape/dtype):
   POST /match_many        same with ct shape [C, len, blocks, n+1]
                           -> {"ct": {...}} with leading C axis
 
+Every POST endpoint also accepts "patterns": [...] instead of "pattern" —
+the set compiles to ONE shared multi-root circuit (cross-pattern
+subexpressions bootstrap once) and the result gains a leading P axis.
+
 Run:  python -m fhe_regex_tpu.serve --key server_key.npz --port 8471
 """
 
@@ -62,28 +66,33 @@ class MatchService:
         self._lock = threading.Lock()      # one device, serialized matches
         self._programs: dict = {}
 
-    def _program(self, pattern: str, fold: str, branch_budget):
-        from fhe_regex_tpu.models.patterns import CompiledPattern
+    def _program(self, pattern, fold: str, branch_budget):
+        """pattern: one str -> CompiledPattern; list of str ->
+        CompiledPatternSet (one shared multi-root circuit)."""
+        from fhe_regex_tpu.models.patterns import (CompiledPattern,
+                                                   CompiledPatternSet)
 
-        key = (pattern, fold, branch_budget)
+        multi = isinstance(pattern, (list, tuple))
+        key = (tuple(pattern) if multi else pattern, fold, branch_budget)
         if key not in self._programs:
-            self._programs[key] = CompiledPattern(
+            cls = CompiledPatternSet if multi else CompiledPattern
+            self._programs[key] = cls(
                 pattern, params=self.params, fold=fold,
                 branch_budget=branch_budget)
         return self._programs[key]
 
-    def compile(self, pattern: str, content_len: int, fold: str = "tree",
+    def compile(self, pattern, content_len: int, fold: str = "tree",
                 branch_budget=None) -> dict:
         prog = self._program(pattern, fold, branch_budget)
         return prog.stats(content_len)
 
-    def match(self, pattern: str, ct: np.ndarray, fold: str = "tree",
+    def match(self, pattern, ct: np.ndarray, fold: str = "tree",
               branch_budget=None) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget)
         with self._lock:
             return prog.match(self.executor, ct)
 
-    def match_many(self, pattern: str, cts: np.ndarray, fold: str = "tree",
+    def match_many(self, pattern, cts: np.ndarray, fold: str = "tree",
                    branch_budget=None) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget)
         circuit = prog.circuit(cts.shape[1])
@@ -122,19 +131,21 @@ def make_handler(service: MatchService):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 fold = req.get("fold", "tree")
                 budget = req.get("branch_budget")
+                # "pattern": one str; "patterns": list -> one shared
+                # multi-root circuit, result gains a leading P axis
+                pat = (req["patterns"] if "patterns" in req
+                       else req["pattern"])
                 if self.path == "/compile":
-                    out = service.compile(req["pattern"],
-                                          int(req["content_len"]),
+                    out = service.compile(pat, int(req["content_len"]),
                                           fold, budget)
                     self._reply(200, out)
                 elif self.path == "/match":
                     ct = decode_array(req["ct"])
-                    res = service.match(req["pattern"], ct, fold, budget)
+                    res = service.match(pat, ct, fold, budget)
                     self._reply(200, {"ct": encode_array(res)})
                 elif self.path == "/match_many":
                     cts = decode_array(req["ct"])
-                    res = service.match_many(req["pattern"], cts, fold,
-                                             budget)
+                    res = service.match_many(pat, cts, fold, budget)
                     self._reply(200, {"ct": encode_array(res)})
                 else:
                     self._reply(404, {"error": "unknown path"})

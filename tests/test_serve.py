@@ -85,3 +85,33 @@ def test_budget_surfaces_as_400(server):
         _post(server, "/match", {"pattern": "/a*bc/", "ct": encode_array(ct),
                                  "branch_budget": 1})
     assert ei.value.code == 400
+
+
+def test_match_patterns_roundtrip(server, keys):
+    """"patterns" list -> one multi-root circuit, leading P axis."""
+    ck, _ = keys
+    pats = ["/ab?c/", "/^x/", "/./"]
+    ct = trivial_encrypt_str(TEST_PARAMS, "abc")
+    out = _post(server, "/match", {"patterns": pats, "ct": encode_array(ct)})
+    res = decode_array(out["ct"])
+    assert res.shape[0] == len(pats)
+    assert [decrypt(ck, r) for r in res] == [1, 0, 1]
+
+
+def test_match_many_patterns_roundtrip(server, keys):
+    ck, _ = keys
+    contents = ["abcx", "xxxx"]
+    pats = ["/abc/", "/x{2}/"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    out = _post(server, "/match_many",
+                {"patterns": pats, "ct": encode_array(cts)})
+    res = decode_array(out["ct"])
+    assert res.shape[:2] == (2, 2)
+    assert [[decrypt(ck, res[c, p]) for p in range(2)]
+            for c in range(2)] == [[1, 0], [0, 1]]
+
+
+def test_compile_patterns_stats(server):
+    out = _post(server, "/compile",
+                {"patterns": ["/abc/", "/abd/"], "content_len": 4})
+    assert out["patterns"] == 2 and out["bootstraps"] > 0
