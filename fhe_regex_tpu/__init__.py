@@ -22,6 +22,7 @@ from fhe_regex_tpu.crypto.keys import (
     server_key_from_client,
 )
 from fhe_regex_tpu.crypto import lwe as _lwe
+from fhe_regex_tpu.regex.circuit import CircuitBuilder, Node
 from fhe_regex_tpu.regex.engine import BranchBudgetExceeded, compile_match
 from fhe_regex_tpu.regex.executor import CompiledCircuit, Executor, compile_circuit
 from fhe_regex_tpu.ops.pbs import prepare_server_key, resolve_backend
@@ -46,6 +47,10 @@ __all__ = [
     "BranchBudgetExceeded",
     "compile_circuit",
     "Executor",
+    "CircuitBuilder",
+    "Node",
+    "executor_for",
+    "run_circuit",
 ]
 
 logger = logging.getLogger("fhe_regex_tpu")
@@ -177,6 +182,47 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
         contents.shape[0], circuit.ct_ops, circuit.pbs_count, len(circuit.levels),
     )
     return result
+
+
+def executor_for(server_key: ServerKey, backend: Optional[str] = None,
+                 mesh=None) -> Executor:
+    """A (cached) Executor bound to this server key's device material.
+
+    The entry point for running CUSTOM circuits: build a gate DAG with
+    ``CircuitBuilder`` (the public twin of the reference's ``Execution``
+    context, execution.rs:46-222 — ``ct_eq / ct_ge / ct_le / ct_and /
+    ct_or / ct_not / ct_true / ct_false / ct_constant`` plus the
+    ``ct_ops`` / ``cache_hits`` counters), compile it with
+    ``compile_circuit``, then ``executor.run(circuit, ct_content)``.
+    Executors are cached on the key per (backend, mesh), so repeated calls
+    reuse the device upload.
+    """
+    return _executor_for(server_key, backend, mesh)
+
+
+def run_circuit(server_key: ServerKey, builder: CircuitBuilder, root,
+                ct_content: np.ndarray, backend: Optional[str] = None,
+                mesh=None) -> np.ndarray:
+    """One-shot compile + execute of a custom CircuitBuilder DAG.
+
+    ``root`` is one Node (result ``[num_blocks, n+1]``) or a list of Nodes
+    (result ``[R, num_blocks, n+1]``); pending gate nodes are forced
+    automatically.  For repeated serving of the same circuit, compile once
+    with ``compile_circuit`` and reuse an ``executor_for`` instead.
+    """
+    from fhe_regex_tpu.regex.executor import default_min_bucket
+
+    params = server_key.params
+    if isinstance(root, (list, tuple)):
+        root = [builder.force_node(r) for r in root]
+    else:
+        root = builder.force_node(root)
+    min_bucket = default_min_bucket()
+    if mesh is not None:
+        min_bucket = max(min_bucket, int(mesh.devices.size))
+    circuit = compile_circuit(params, builder, root, min_bucket=min_bucket)
+    executor = _executor_for(server_key, backend, mesh)
+    return executor.run(circuit, np.ascontiguousarray(ct_content))
 
 
 def _compile_multi(params: Params, content_len: int, patterns,
