@@ -1,1 +1,5 @@
-from fhe_regex_tpu.models.patterns import CompiledPattern, DRIVER_CONFIGS  # noqa: F401
+from fhe_regex_tpu.models.patterns import (  # noqa: F401
+    CompiledPattern,
+    CompiledPatternSet,
+    DRIVER_CONFIGS,
+)

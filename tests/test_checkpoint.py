@@ -130,3 +130,26 @@ def test_executor_checkpoint_resume(tmp_path, keys):
     resumed = ex.run(circuit, ct, resume=str(cp))
     assert np.array_equal(resumed, plain)
     assert decrypt(ck, resumed) == 1
+
+
+def test_checkpoint_resume_multiroot(tmp_path, keys):
+    """Mid-circuit checkpoint/resume of a multi-root (pattern-set) run."""
+    from fhe_regex_tpu import decrypt, trivial_encrypt_str
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.params import TEST_PARAMS
+    from fhe_regex_tpu.regex.engine import compile_match_multi
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    builder, roots = compile_match_multi(3, ["/ab/", "/bc$/", "/zz/"])
+    circuit = compile_circuit(TEST_PARAMS, builder, roots)
+    assert len(circuit.levels) >= 2
+    ex = Executor(TEST_PARAMS, prepare_server_key(TEST_PARAMS, sk, "jnp"))
+    ct = trivial_encrypt_str(TEST_PARAMS, "abc")
+    plain = ex.run(circuit, ct)
+    cp = tmp_path / "multi.npz"
+    chk = ex.run(circuit, ct, checkpoint=str(cp), checkpoint_every=1)
+    assert np.array_equal(chk, plain)
+    resumed = ex.run(circuit, None, resume=str(cp))
+    assert np.array_equal(resumed, plain)
+    assert [decrypt(ck, r) for r in resumed] == [1, 1, 0]

@@ -159,3 +159,36 @@ def test_fuzz_noisy_encrypted_vs_oracle(seed, noisy_keys):
     except Exception as e:
         pytest.skip(f"{pattern!r}: {type(e).__name__}")
     assert decrypt(ck, res) == want, (pattern, content)
+
+
+@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("engine", ["python", "native"])
+def test_fuzz_multipattern_vs_oracle(seed, engine, keys):
+    """Random pattern SETS through the shared multi-root circuit: every
+    root must decrypt to its own pattern's oracle bit (cross-pattern
+    hash-consing must never couple results)."""
+    from fhe_regex_tpu import has_match_patterns
+    from fhe_regex_tpu.regex import native
+
+    if engine == "native" and not native.available():
+        pytest.skip("native lib not built")
+    ck, sk = keys
+    rng = random.Random(3000 + seed)
+    content = _content(rng)
+    patterns, wants = [], []
+    while len(patterns) < 4:
+        pattern = _pattern(rng)
+        try:
+            parse(pattern)
+            wants.append(oracle_match(content, pattern))
+        except (ValueError, OracleBudgetExceeded, RecursionError):
+            continue
+        patterns.append(pattern)
+    try:
+        res = has_match_patterns(sk, trivial_encrypt_str(TEST_PARAMS, content),
+                                 patterns, backend="jnp", engine=engine,
+                                 branch_budget=200_000)
+    except Exception as e:           # budget parity with the oracle guard
+        pytest.skip(f"{patterns!r}: {type(e).__name__}")
+    got = [decrypt(ck, res[i]) for i in range(len(patterns))]
+    assert got == wants, (patterns, content)

@@ -201,3 +201,15 @@ def test_has_match_many_64bit(keys64):
     res = has_match_many(sk, cts, "/abc/")
     assert res.dtype == np.uint64
     assert [decrypt(ck, res[i]) for i in range(3)] == [1, 0, 1]
+
+
+def test_multipattern_64bit(keys64):
+    """Multi-root circuit at the reference's torus width: limb-pair slab,
+    one root row per pattern."""
+    from fhe_regex_tpu import decrypt, has_match_patterns, trivial_encrypt_str
+
+    ck, sk = keys64
+    ct = trivial_encrypt_str(P64, "abc")
+    res = has_match_patterns(sk, ct, ["/b/", "/x/", "/^abc$/"])
+    assert res.dtype == np.uint64 and res.shape[0] == 3
+    assert [decrypt(ck, r) for r in res] == [1, 0, 1]
