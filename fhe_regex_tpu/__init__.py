@@ -42,6 +42,7 @@ __all__ = [
     "has_match_many",
     "has_match_patterns",
     "has_match_many_patterns",
+    "has_match_positions",
     "decrypt",
     "compile_match",
     "BranchBudgetExceeded",
@@ -271,6 +272,50 @@ def has_match_patterns(server_key: ServerKey, ct_content: np.ndarray,
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(
         "%d patterns: %d ciphertext operations, %d cache hits "
+        "(%d bootstraps in %d levels)",
+        len(roots), circuit.ct_ops, circuit.cache_hits, circuit.pbs_count,
+        len(circuit.levels),
+    )
+    return result
+
+
+def has_match_positions(server_key: ServerKey, ct_content: np.ndarray,
+                        pattern: str, backend: Optional[str] = None,
+                        mesh=None, fold: str = "tree",
+                        engine: Optional[str] = None,
+                        branch_budget: Optional[int] = None) -> np.ndarray:
+    """Per-offset encrypted match bits: result[i] encrypts 1 iff the pattern
+    matches starting at content position i.
+
+    The reference folds all start positions into one global OR
+    (engine.rs:15-35); this keeps each position's OR separate — an
+    encrypted "grep with offsets".  `has_match`'s bit is the OR of these.
+    Returns `[len, num_blocks, n+1]`; decrypt each row with ``decrypt``.
+    """
+    from fhe_regex_tpu.regex.executor import default_min_bucket
+
+    params = server_key.params
+    if engine is None:
+        from fhe_regex_tpu.regex.native import available
+        engine = "native" if available() else "python"
+    if engine == "native":
+        from fhe_regex_tpu.regex.native import compile_match_native_positions
+        builder, roots = compile_match_native_positions(
+            len(ct_content), pattern, num_blocks=params.num_blocks,
+            fold=fold, branch_budget=branch_budget)
+    else:
+        from fhe_regex_tpu.regex.engine import compile_match_positions
+        builder, roots = compile_match_positions(
+            len(ct_content), pattern, num_blocks=params.num_blocks,
+            fold=fold, branch_budget=branch_budget)
+    min_bucket = default_min_bucket()
+    if mesh is not None:
+        min_bucket = max(min_bucket, int(mesh.devices.size))
+    circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket)
+    executor = _executor_for(server_key, backend, mesh)
+    result = executor.run(circuit, np.ascontiguousarray(ct_content))
+    logger.info(
+        "%d positions: %d ciphertext operations, %d cache hits "
         "(%d bootstraps in %d levels)",
         len(roots), circuit.ct_ops, circuit.cache_hits, circuit.pbs_count,
         len(circuit.levels),

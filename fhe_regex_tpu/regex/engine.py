@@ -228,6 +228,41 @@ def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
     return builder, root
 
 
+def compile_match_positions(content_len: int, pattern: str,
+                            num_blocks: int = 4, fold: str = "tree",
+                            branch_budget: Optional[int] = None
+                            ) -> Tuple[CircuitBuilder, List[Node]]:
+    """Per-start-position match bits: roots[i] = OR over the variants that
+    start at content position i (the addends of the reference's global OR,
+    engine.rs:15-35, kept separate instead of folded).
+
+    The global `has_match` bit is the OR of these roots; returning them
+    individually gives an encrypted "match at offset i" vector.  All
+    positions share one hash-consed builder, so the circuit is barely
+    larger than the single-bit one (the fold tree is what differs).
+    `branch_budget` is charged once across all positions, exactly like
+    `compile_match`.
+    """
+    if fold not in ("reference", "tree"):
+        raise ValueError(f"unknown fold mode {fold!r}")
+    re = parse(pattern)
+    budget = BranchBudget(branch_budget)
+    builder = CircuitBuilder(content_len, num_blocks=num_blocks,
+                             mode="opt" if fold == "tree" else "strict")
+    roots: List[Node] = []
+    for i in range(content_len):
+        branches = [b for b, _ in build_branches(content_len, re, i, budget)]
+        if not branches:
+            res = builder.ct_false()
+        else:
+            res = branches[0](builder)
+            for branch in branches[1:]:
+                branch_res = branch(builder)
+                res = builder.ct_or(res, branch_res)
+        roots.append(builder.force_node(res))
+    return builder, roots
+
+
 def compile_match_multi(content_len: int, patterns: List[str],
                         num_blocks: int = 4, fold: str = "tree",
                         branch_budget: Optional[int] = None

@@ -46,6 +46,11 @@ def _load():
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int64,
         ]
+        lib.circuit_compile_positions.restype = ctypes.POINTER(ctypes.c_int64)
+        lib.circuit_compile_positions.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ]
         lib.circuit_free.argtypes = [ctypes.POINTER(ctypes.c_int64)]
         _lib = lib
     return _lib
@@ -210,12 +215,20 @@ def compile_match_native_multi(content_len: int, patterns: List[str],
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(patterns), content_len, num_blocks, mode,
         -1 if branch_budget is None else branch_budget)
+    return _multiroot_from_blob(lib, blob, content_len, num_blocks,
+                                branch_budget)
+
+
+def _multiroot_from_blob(lib, blob, content_len: int, num_blocks: int,
+                         branch_budget) -> Tuple[NativeCompiled, List[Node]]:
+    """Decode the shared multi-root blob layout (header [n_ops, ct_ops,
+    cache_hits, n_roots, num_content_slots] + root triples + op records)."""
     try:
         n_ops = int(blob[0])
         if n_ops < 0:
             from fhe_regex_tpu.regex.engine import BranchBudgetExceeded
             raise BranchBudgetExceeded(
-                f"a pattern expands to more than {branch_budget} circuit "
+                f"the pattern expands to more than {branch_budget} circuit "
                 f"branch nodes; raise branch_budget or simplify the pattern")
         ct_ops, cache_hits = int(blob[1]), int(blob[2])
         n_roots = int(blob[3])
@@ -236,3 +249,22 @@ def compile_match_native_multi(content_len: int, patterns: List[str],
         ct_ops=ct_ops, cache_hits=cache_hits,
     )
     return builder, roots
+
+
+def compile_match_native_positions(content_len: int, pattern: str,
+                                   num_blocks: int = 4, fold: str = "tree",
+                                   branch_budget: Optional[int] = None
+                                   ) -> Tuple[NativeCompiled, List[Node]]:
+    """Native counterpart of engine.compile_match_positions: one root per
+    content start position (byte-exact vs the Python builder)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native/libfheregex.so not built (make -C native)")
+    ast = serialize_ast(parse(pattern))
+    mode = 1 if fold == "tree" else 0
+    blob = lib.circuit_compile_positions(
+        ast.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(ast), content_len, num_blocks, mode,
+        -1 if branch_budget is None else branch_budget)
+    return _multiroot_from_blob(lib, blob, content_len, num_blocks,
+                                branch_budget)

@@ -674,6 +674,63 @@ int64_t* circuit_compile_multi(const int32_t* asts, const int32_t* ast_lens,
     return out;
 }
 
+// Per-start-position match bits: one root per content position, each the
+// OR-fold of only that position's variants (the addends of has_match's
+// global OR, engine.rs:15-35).  One shared builder; budget charged once
+// across all positions, as circuit_compile.  Blob layout identical to
+// circuit_compile_multi with n_roots = content_len.
+int64_t* circuit_compile_positions(const int32_t* ast, int32_t ast_len,
+                                   int32_t content_len, int32_t num_blocks,
+                                   int32_t mode /*0 strict, 1 opt*/,
+                                   int64_t branch_budget) {
+    const int32_t* p = ast;
+    Arena arena;
+    const Ast* re = parse_ast(p, arena);
+    (void)ast_len;
+
+    Budget bu{branch_budget < 0 ? -1 : branch_budget};
+    Builder bld(content_len, num_blocks, mode);
+    std::vector<BitVal> roots;
+    try {
+        for (int i = 0; i < content_len; i++) {
+            std::vector<Branch> branches;
+            build_branches(content_len, re, i, branches, bu);
+            NodeV res{};
+            if (branches.empty()) {
+                res = bld.ct_false();
+            } else {
+                res = run_lazy(bld, branches[0].first.get());
+                for (size_t j = 1; j < branches.size(); j++) {
+                    NodeV br = run_lazy(bld, branches[j].first.get());
+                    res = bld.gate(1, res, br);
+                }
+            }
+            roots.push_back(bld.force(res.val));
+        }
+    } catch (const BranchBudgetExceeded&) {
+        int64_t* out = (int64_t*)std::calloc(5, sizeof(int64_t));
+        out[0] = -1;
+        return out;
+    }
+    size_t n = bld.ops.size();
+    size_t nr = roots.size();
+    int64_t* out =
+        (int64_t*)std::malloc((5 + nr * 3 + n * 11) * sizeof(int64_t));
+    out[0] = (int64_t)n;
+    out[1] = bld.ct_ops;
+    out[2] = bld.cache_hits;
+    out[3] = (int64_t)nr;
+    out[4] = bld.num_content_slots;
+    int64_t* q = out + 5;
+    for (auto& r : roots) {
+        *q++ = r.konst;
+        *q++ = r.sign;
+        *q++ = r.slot;
+    }
+    write_ops(q, bld);
+    return out;
+}
+
 void circuit_free(int64_t* p) { std::free(p); }
 
 }  // extern "C"

@@ -126,3 +126,49 @@ def test_multi_budget_is_per_pattern(engine):
     builder, roots = _compile_multi(TEST_PARAMS, 6, ["/ab/", "/ab/"],
                                     "tree", engine, 50)
     assert len(roots) == 2
+
+
+# ---------------- per-position match bits ----------------
+
+def _oracle_positions(content: str, pattern: str):
+    """Plaintext per-start-position truth, via the fuzz oracle's evaluator."""
+    from test_oracle_fuzz import _oracle_branches
+    from fhe_regex_tpu.regex.parser import parse as _parse
+    ast = _parse(pattern)
+    data = content.encode("ascii")
+    return [int(any(v for v, _ in _oracle_branches(data, ast, i, [0])))
+            for i in range(len(data))]
+
+
+@pytest.mark.parametrize("engine", ["python", "native"])
+@pytest.mark.parametrize("content,pattern", [
+    ("abcabc", "/abc/"), ("xxabyy", "/ab?c?/"), ("abc", "/^abc$/"),
+    ("aaaa", "/a+b/"), ("bcbcbc", "/[a-d]c/"),
+])
+def test_match_positions_oracle(engine, content, pattern, keys):
+    from fhe_regex_tpu import has_match_positions
+
+    if engine == "native" and not native.available():
+        pytest.skip("native lib not built")
+    ck, sk = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, content)
+    res = has_match_positions(sk, ct, pattern, backend="jnp", engine=engine)
+    got = [decrypt(ck, res[i]) for i in range(len(content))]
+    assert got == _oracle_positions(content, pattern), (content, pattern)
+    # the global has_match bit is the OR of the position bits
+    one = decrypt(ck, has_match(sk, ct, pattern, backend="jnp"))
+    assert one == int(any(got))
+
+
+@pytest.mark.parametrize("fold", ["reference", "tree"])
+@needs_native
+def test_native_positions_matches_python(fold):
+    from fhe_regex_tpu.regex.engine import compile_match_positions
+    from fhe_regex_tpu.regex.native import compile_match_native_positions
+
+    n, pattern = 5, "/a[b-d]?c/"
+    pb, proots = compile_match_positions(n, pattern, fold=fold)
+    nb, nroots = compile_match_native_positions(n, pattern, fold=fold)
+    assert (nb.ct_ops, nb.cache_hits) == (pb.ct_ops, pb.cache_hits)
+    assert [r.val for r in nroots] == [r.val for r in proots]
+    assert nb.ops == pb.ops
