@@ -30,6 +30,14 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # a silently smaller mesh changes collective semantics (an
+            # OR-tree over 1 device is the identity) — fail loudly instead
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are visible (set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N for "
+                f"virtual CPU devices)")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (BATCH_AXIS,))
 

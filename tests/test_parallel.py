@@ -114,3 +114,13 @@ def test_tensor_parallel_rejects_bad_mesh(keys):
     _, sk = keys
     with pytest.raises(ValueError):
         make_tp_pbs_fn(TEST_PARAMS, sk, make_tp_mesh(4))
+
+
+def test_make_mesh_rejects_oversized_request():
+    """A mesh bigger than the visible devices must fail loudly — a silently
+    smaller mesh changes collective semantics (a 1-device OR-tree is the
+    identity)."""
+    from fhe_regex_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(len(jax.devices()) + 1)
