@@ -124,3 +124,48 @@ def pbs(params: Params, bsk: np.ndarray, ksk: np.ndarray, ct: np.ndarray,
     acc = blind_rotate(params, bsk, lut_poly, ct_ms)
     big = sample_extract(params, acc)
     return key_switch(params, ksk, big)
+
+
+# ---------------- multi-value bootstrap (spec) ----------------
+
+
+def mv_testpoly(params: Params) -> np.ndarray:
+    """The common test polynomial v = (delta/2)*(1 + X + ... + X^{N-1}).
+
+    Every make_lut_poly output factors exactly as u (*) v with u the sparse
+    integer factor from ops.luts.mv_weights (see the derivation there)."""
+    return np.full(params.polynomial_size, params.delta // 2, dtype=_dt(params))
+
+
+def mv_derived_extract(params: Params, acc_v: np.ndarray,
+                       weights: np.ndarray) -> np.ndarray:
+    """Big-LWE of ONE derived LUT from the common rotated accumulator.
+
+    acc_v: blind_rotate(..., mv_testpoly(params), ct_ms) — shared by every
+    LUT on the same input.  weights: ops.luts.mv_weights of the LUT.
+    Computes sample_extract(u (*) acc_v) via the linearity of extraction
+    over the static support rotations."""
+    from fhe_regex_tpu.ops.luts import mv_support_positions
+
+    pos = mv_support_positions(params)
+    dt = _dt(params)
+    out = np.zeros(params.glwe_key_dim + 1, dtype=dt)
+    with np.errstate(over="ignore"):
+        for p, w in zip(pos, weights):
+            if w == 0:
+                continue
+            rolled = np.stack([negacyclic_rotate(acc_v[c], int(p))
+                               for c in range(acc_v.shape[0])])
+            out = (out + dt(np.int64(w) & ((1 << params.torus_bits) - 1))
+                   * sample_extract(params, rolled)).astype(dt)
+    return out
+
+
+def mv_pbs(params: Params, bsk: np.ndarray, ksk: np.ndarray, ct: np.ndarray,
+           weights_list) -> list:
+    """Multi-value bootstrap: ONE blind rotation of v, one derived output
+    per factor in weights_list (each keyswitched as usual)."""
+    ct_ms = mod_switch(params, ct)
+    acc_v = blind_rotate(params, bsk, mv_testpoly(params), ct_ms)
+    return [key_switch(params, ksk, mv_derived_extract(params, acc_v, w))
+            for w in weights_list]

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable, Tuple
 
+import numpy as np
+
 LutKey = Tuple
 
 
@@ -44,6 +46,54 @@ LUT_OR3: LutKey = ("or3",)     # w = x + 2y + 4z -> x | y | z
 # gt-combine and le-combine share one table: p | (q & r)
 LUT_GT_COMBINE: LutKey = ("or_and3",)
 LUT_LE_COMBINE: LutKey = ("or_and3",)
+
+
+# ---------------- multi-value bootstrap factorization ----------------
+#
+# Every test polynomial built by crypto.golden.make_lut_poly is piecewise
+# constant over `slots/2` windows of r = 2N/slots coefficients (offset by
+# r/2), so it factors EXACTLY over the negacyclic ring as
+#
+#     t  =  u (*) v,     v = (delta/2) * (1 + X + ... + X^{N-1})
+#
+# with u supported only on the slots/2 static window-boundary positions
+# p_m = m*r - r/2 and integer weights u[p_m] = f(m) - f(m-1) (wrap weight
+# -f(0) - f(slots/2-1)).  Since blind rotation commutes with multiplication
+# by a fixed poly, rotating the COMMON v once serves every LUT on the same
+# input: each op's output is the cheap plaintext combination u_j applied at
+# sample-extract time (the CIM19 multi-value bootstrap, re-based onto this
+# engine's window layout).  Output noise is amplified by ||u||_2 on the
+# blind-rotation component only — params.noise_budget_report asserts the
+# margin (keyswitch+modswitch dominate at our parameters, so sparse boolean
+# factors keep >= 5 sigma; see tests/test_multivalue.py).
+
+
+def mv_support_positions(params) -> np.ndarray:
+    """The slots/2 static coefficient positions where LUT factors live."""
+    N, slots = params.polynomial_size, params.plaintext_slots
+    r = 2 * N // slots
+    return np.asarray([m * r - r // 2 for m in range(1, slots // 2 + 1)],
+                      np.int32)
+
+
+def mv_weights(params, key: LutKey) -> np.ndarray:
+    """Integer factor weights of `key`'s test polynomial (one per support
+    position).  mv_weights[m-1] multiplies X^{p_m}."""
+    f = lut_fn(key)
+    slots = params.plaintext_slots
+    s = slots // 2
+    fv = [f(m) % slots for m in range(s)]
+    w = np.zeros(s, np.int64)
+    for m in range(1, s):
+        w[m - 1] = fv[m] - fv[m - 1]
+    w[s - 1] = -fv[0] - fv[s - 1]
+    return w.astype(np.int32)
+
+
+def mv_norm2(params, key: LutKey) -> int:
+    """||u||_2^2 of the factor — the blind-rotation noise amplification."""
+    w = mv_weights(params, key).astype(np.int64)
+    return int((w * w).sum())
 
 
 def lut_fn(key: LutKey) -> Callable[[int], int]:

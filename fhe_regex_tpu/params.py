@@ -121,13 +121,18 @@ class Params:
 
     # ---------------- noise budget model ----------------
 
-    def noise_budget_report(self) -> dict:
+    def noise_budget_report(self, mv_norm2: "int | None" = None) -> dict:
         """Analytic per-PBS noise estimate (variances in torus^2 units).
 
         Mirrors the standard TFHE noise formulas; used by tests to assert the
         LUT margin.  All inputs to a PBS in this engine are either fresh
         client encryptions, trivial constants, or (keyswitched) outputs of a
         previous PBS scaled by at most `max_linear_scale`.
+
+        mv_norm2: when set, report the margin for MULTI-VALUE bootstrap
+        outputs — the blind-rotation variance is amplified by ||u||_2^2 of
+        the LUT factor poly (ops.luts.mv_weights); keyswitch/modswitch terms
+        are unaffected.
         """
         n = self.lwe_dimension
         N = self.polynomial_size
@@ -150,8 +155,9 @@ class Params:
         var_ks_key = k * N * lks * (Bks * Bks / 12.0) * (self.lwe_noise_std ** 2)
         var_ks = var_ks_dec + var_ks_key
 
-        # A stored ciphertext (PBS output, keyswitched)
-        var_ct = var_br + var_ks
+        # A stored ciphertext (PBS output, keyswitched); multi-value outputs
+        # amplify the blind-rotation term by the factor poly's ||u||_2^2
+        var_ct = var_br * (mv_norm2 if mv_norm2 is not None else 1) + var_ks
 
         # Modulus switch q -> 2N at the input of the next PBS
         step = q / (2.0 * N)

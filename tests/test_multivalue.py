@@ -1,0 +1,128 @@
+"""Multi-value bootstrapping: one blind rotation, many LUT outputs.
+
+Spec layer first: every production test polynomial factors EXACTLY as
+u (*) v over the negacyclic ring (u sparse on the static window-boundary
+support, v the common half-delta all-ones poly), so rotating v once serves
+every LUT on the same input; outputs are derived at sample-extract time.
+Noise: only the blind-rotation component is amplified (by ||u||_2), which
+keeps >= MIN_SIGMA_MARGIN at our parameters (asserted here).
+"""
+
+import numpy as np
+import pytest
+
+from fhe_regex_tpu.crypto import golden, lwe
+from fhe_regex_tpu.crypto.glwe import negacyclic_polymul
+from fhe_regex_tpu.ops.luts import (
+    LUT_AND2, LUT_AND3, LUT_EQ, LUT_GT, LUT_GT_COMBINE, LUT_LE, LUT_LT,
+    LUT_OR2, LUT_OR3, lut_fn, mv_norm2, mv_support_positions, mv_weights,
+)
+from fhe_regex_tpu.params import (
+    TEST_PARAMS, TEST_PARAMS_NOISY, TPU_MESSAGE_2_CARRY_2,
+)
+
+PRODUCTION_KEYS = (
+    [LUT_EQ(c) for c in range(16)] + [LUT_GT(c) for c in range(16)]
+    + [LUT_LT(c) for c in range(16)] + [LUT_LE(c) for c in range(16)]
+    + [LUT_AND2, LUT_OR2, LUT_AND3, LUT_OR3, LUT_GT_COMBINE]
+)
+
+
+@pytest.mark.parametrize("params", [TEST_PARAMS, TPU_MESSAGE_2_CARRY_2],
+                         ids=lambda p: p.name)
+def test_factorization_exact(params):
+    """u (*) v == make_lut_poly(f) exactly (mod 2^torus_bits) for every
+    production LUT."""
+    N = params.polynomial_size
+    v = golden.mv_testpoly(params)
+    pos = mv_support_positions(params)
+    for key in PRODUCTION_KEYS:
+        t = golden.make_lut_poly(params, lut_fn(key))
+        w = mv_weights(params, key)
+        u = np.zeros(N, dtype=v.dtype)
+        u[pos] = w.astype(np.int64) & ((1 << params.torus_bits) - 1)
+        prod = negacyclic_polymul(u, v, params.torus_bits)
+        assert np.array_equal(prod.astype(t.dtype), t), key
+
+
+def test_support_is_static_and_sparse():
+    pos = mv_support_positions(TPU_MESSAGE_2_CARRY_2)
+    assert len(pos) == 16
+    assert pos[0] > 0 and pos[-1] < TPU_MESSAGE_2_CARRY_2.polynomial_size
+    # boolean LUT factors are tiny (worst: or_and3's alternating pattern)
+    assert max(mv_norm2(TPU_MESSAGE_2_CARRY_2, k) for k in PRODUCTION_KEYS) <= 12
+
+
+def test_noise_margin_multivalue():
+    """Worst-case LUT margin with the max production ||u||_2^2 stays >= 5
+    sigma (modswitch + keyswitch dominate; blind rotation is the only
+    amplified term)."""
+    p = TPU_MESSAGE_2_CARRY_2
+    u2 = max(mv_norm2(p, k) for k in PRODUCTION_KEYS)
+    assert p.noise_budget_report(mv_norm2=u2)["sigma_margin"] >= 5.0
+
+
+def test_golden_mv_pbs_matches_classic(keys):
+    """ONE rotation of v + derived extracts decrypt exactly like per-LUT
+    classic bootstraps (zero-noise keys -> bit-exact)."""
+    ck, sk = keys
+    p = TEST_PARAMS
+    group = [LUT_EQ(5), LUT_GT(5), LUT_LE(9)]
+    for m in [0, 3, 5, 9, 15]:
+        ct = lwe.encrypt_lwe(p, ck.lwe_key, m, ck.rng)
+        outs = golden.mv_pbs(p, sk.bsk, sk.ksk, ct,
+                             [mv_weights(p, k) for k in group])
+        for key, out in zip(group, outs):
+            want = golden.pbs(p, sk.bsk, sk.ksk, ct,
+                              golden.make_lut_poly(p, lut_fn(key)))
+            assert (lwe.decrypt_lwe(p, ck.lwe_key, out)
+                    == lwe.decrypt_lwe(p, ck.lwe_key, want)
+                    == lut_fn(key)(m)), (key, m)
+
+
+def test_golden_mv_pbs_noisy(noisy_keys):
+    """Derived outputs decrypt correctly through real noise."""
+    ck, sk = noisy_keys
+    p = TEST_PARAMS_NOISY
+    group = [LUT_EQ(2), LUT_GT(2)]
+    for m in [1, 2, 3]:
+        ct = lwe.encrypt_lwe(p, ck.lwe_key, m, ck.rng)
+        outs = golden.mv_pbs(p, sk.bsk, sk.ksk, ct,
+                             [mv_weights(p, k) for k in group])
+        assert lwe.decrypt_lwe(p, ck.lwe_key, outs[0]) == int(m == 2)
+        assert lwe.decrypt_lwe(p, ck.lwe_key, outs[1]) == int(m > 2)
+
+
+def test_mv_pbs_batch_jnp(keys):
+    """jnp runtime: grouped batched multi-value PBS == classic per-LUT PBS
+    (zero-noise keys -> identical plaintexts)."""
+    import jax.numpy as jnp
+
+    from fhe_regex_tpu.ops.mv import mv_pbs_batch
+    from fhe_regex_tpu.ops.pbs import pbs_batch, server_key_device_arrays
+
+    ck, sk = keys
+    p = TEST_PARAMS
+    bsk, ksk = server_key_device_arrays(sk)
+    group = [LUT_EQ(5), LUT_GT(5), LUT_AND2, LUT_OR2]
+    # two unique inputs, four outputs (2 LUTs each)
+    ms = [5, 3]
+    rot = np.stack([lwe.encrypt_lwe(p, ck.lwe_key, m, ck.rng) for m in ms])
+    weights = np.stack([mv_weights(p, k) for k in group]).astype(np.int32)
+    leader = np.asarray([0, 0, 1, 1], np.int32)
+    out = np.asarray(mv_pbs_batch(p, bsk, ksk, jnp.asarray(weights),
+                                  jnp.asarray(leader),
+                                  jnp.asarray(rot.view(np.int32))))
+    got = [lwe.decrypt_lwe(p, ck.lwe_key, out[i].view(np.uint32))
+           for i in range(4)]
+    assert got == [1, 0, 1, 1]  # eq5(5), gt5(5), and2(3), or2(3)
+
+    # classic path agreement on the same inputs
+    luts = np.stack([golden.make_lut_poly(p, lut_fn(k)) for k in group])
+    cts = rot[leader]
+    ref = np.asarray(pbs_batch(p, bsk, ksk, jnp.asarray(luts.view(np.int32)),
+                               jnp.arange(4, dtype=np.int32),
+                               jnp.asarray(cts.view(np.int32))))
+    ref_pt = [lwe.decrypt_lwe(p, ck.lwe_key, ref[i].view(np.uint32))
+              for i in range(4)]
+    assert got == ref_pt
