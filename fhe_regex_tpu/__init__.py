@@ -105,7 +105,8 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
               backend: Optional[str] = None, mesh=None,
               fold: str = "reference",
               engine: Optional[str] = None,
-              branch_budget: Optional[int] = None) -> np.ndarray:
+              branch_budget: Optional[int] = None,
+              multivalue: Optional[bool] = None) -> np.ndarray:
     """Encrypted match: does `pattern` match the encrypted content?
 
     Mirrors ``engine::has_match`` (engine.rs:8-42): returns a radix ciphertext
@@ -137,7 +138,9 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
     min_bucket = default_min_bucket()
     if mesh is not None:
         min_bucket = max(min_bucket, int(mesh.devices.size))
-    circuit = compile_circuit(params, builder, root, min_bucket=min_bucket)
+    circuit = compile_circuit(params, builder, root, min_bucket=min_bucket,
+                              multivalue=_resolve_multivalue(
+                                  multivalue, params, mesh))
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(
@@ -183,6 +186,27 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
         contents.shape[0], circuit.ct_ops, circuit.pbs_count, len(circuit.levels),
     )
     return result
+
+
+def _resolve_multivalue(multivalue: Optional[bool], params: Params,
+                        mesh) -> bool:
+    """multivalue default: FHE_REGEX_MULTIVALUE env (off unless '1').
+
+    The multi-value plan (ops/mv.py) shares blind rotations between ops
+    with identical inputs — fewer rotations, identical decrypted results,
+    >= 5 sigma noise margin (tests/test_multivalue.py).  32-bit parameter
+    sets only; not sharded yet."""
+    import os
+
+    if multivalue is None:
+        multivalue = os.environ.get("FHE_REGEX_MULTIVALUE") == "1"
+        if multivalue and (params.torus_bits != 32 or mesh is not None):
+            return False   # env default silently degrades where unsupported
+    if multivalue and params.torus_bits != 32:
+        raise ValueError("multivalue needs a 32-bit parameter set")
+    if multivalue and mesh is not None:
+        raise ValueError("multivalue circuits are not sharded yet")
+    return bool(multivalue)
 
 
 def executor_for(server_key: ServerKey, backend: Optional[str] = None,
@@ -249,7 +273,8 @@ def _compile_multi(params: Params, content_len: int, patterns,
 def has_match_patterns(server_key: ServerKey, ct_content: np.ndarray,
                        patterns, backend: Optional[str] = None, mesh=None,
                        fold: str = "tree", engine: Optional[str] = None,
-                       branch_budget: Optional[int] = None) -> np.ndarray:
+                       branch_budget: Optional[int] = None,
+                       multivalue: Optional[bool] = None) -> np.ndarray:
     """Match MANY patterns against one encrypted content in one circuit.
 
     All patterns share a single hash-consed op DAG, so subexpressions common
@@ -267,7 +292,9 @@ def has_match_patterns(server_key: ServerKey, ct_content: np.ndarray,
     min_bucket = default_min_bucket()
     if mesh is not None:
         min_bucket = max(min_bucket, int(mesh.devices.size))
-    circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket)
+    circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket,
+                              multivalue=_resolve_multivalue(
+                                  multivalue, params, mesh))
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(
@@ -283,7 +310,8 @@ def has_match_positions(server_key: ServerKey, ct_content: np.ndarray,
                         pattern: str, backend: Optional[str] = None,
                         mesh=None, fold: str = "tree",
                         engine: Optional[str] = None,
-                        branch_budget: Optional[int] = None) -> np.ndarray:
+                        branch_budget: Optional[int] = None,
+                        multivalue: Optional[bool] = None) -> np.ndarray:
     """Per-offset encrypted match bits: result[i] encrypts 1 iff the pattern
     matches starting at content position i.
 
@@ -311,7 +339,9 @@ def has_match_positions(server_key: ServerKey, ct_content: np.ndarray,
     min_bucket = default_min_bucket()
     if mesh is not None:
         min_bucket = max(min_bucket, int(mesh.devices.size))
-    circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket)
+    circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket,
+                              multivalue=_resolve_multivalue(
+                                  multivalue, params, mesh))
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,17 @@ class LevelPlan:
     consts: np.ndarray     # [W] int32 (plaintext units)
     lut_idx: np.ndarray    # [W] int32
     out_idx: np.ndarray    # [W] int32
+    # multi-value plan (compile_circuit(multivalue=True); None on the
+    # classic path): ops sharing an affine input share one blind rotation
+    # of the common test poly; each op derives its LUT at extract time
+    # (ops/mv.py).  rot_* are the [R, ...] deduped rotation inputs;
+    # mv_leader maps each op to its rotation row; mv_weights are the ops'
+    # LUT factor weights over the static support.
+    rot_slots: "np.ndarray | None" = None
+    rot_coefs: "np.ndarray | None" = None
+    rot_consts: "np.ndarray | None" = None
+    mv_weights: "np.ndarray | None" = None
+    mv_leader: "np.ndarray | None" = None
 
 
 @dataclasses.dataclass
@@ -56,10 +67,22 @@ class CompiledCircuit:
     # multi-root circuits (compile_match_multi / multi-pattern serving):
     # roots[i] is pattern i's result bit; None for single-root circuits.
     roots: "List[Node] | None" = None
+    # multi-value bootstrap circuit (shared rotations; ops/mv.py)
+    multivalue: bool = False
 
     @property
     def pbs_count(self) -> int:
         return sum(int((lv.lut_idx >= 0).sum()) for lv in self.levels)
+
+    @property
+    def rotation_count(self) -> int:
+        """Blind rotations actually executed (== pbs_count on the classic
+        path; smaller under multivalue when ops share inputs)."""
+        if not self.multivalue:
+            return self.pbs_count
+        return sum(int((np.abs(lv.rot_coefs).sum(1)
+                        + np.abs(lv.rot_consts)).astype(bool).sum())
+                   for lv in self.levels)
 
     @property
     def all_roots(self) -> List[Node]:
@@ -162,16 +185,26 @@ def _bucket(w: int, min_bucket: int = 8) -> int:
 def compile_circuit(params: Params, builder: CircuitBuilder,
                     root: "Node | List[Node]",
                     min_bucket: int = 8,
-                    max_batch: int = MAX_LEVEL_BATCH) -> CompiledCircuit:
+                    max_batch: int = MAX_LEVEL_BATCH,
+                    multivalue: bool = False) -> CompiledCircuit:
     """Level-schedule a builder's op DAG.  `root` may be one Node or a list
     of them (multi-pattern circuits); `run`/`run_many` then return one
-    result row per root."""
+    result row per root.
+
+    multivalue=True compiles the shared-rotation plan (ops/mv.py): ops in a
+    level that share an affine input share ONE blind rotation; compiled
+    regex circuits measure 20-43% shared rotations on class/alternation
+    patterns.  Same decrypted results; output noise amplified only on the
+    blind-rotation component (>= 5 sigma margin asserted in tests).
+    """
     roots: "List[Node] | None" = None
     if isinstance(root, (list, tuple)):
         roots = list(root)
         if not roots:
             raise ValueError("need at least one root")
         root = roots[0]
+    if multivalue and params.torus_bits != 32:
+        raise ValueError("multivalue circuits need a 32-bit parameter set")
     lut_ids: Dict[LutKey, int] = {}
     for op in builder.ops:
         if op.lut not in lut_ids:
@@ -218,7 +251,10 @@ def compile_circuit(params: Params, builder: CircuitBuilder,
                 consts[i] = op.const
                 lut_idx[i] = lut_ids[op.lut]
                 out_idx[i] = op.out_slot
-            levels.append(LevelPlan(in_slots, in_coefs, consts, lut_idx, out_idx))
+            plan = LevelPlan(in_slots, in_coefs, consts, lut_idx, out_idx)
+            if multivalue:
+                _attach_mv_plan(params, plan, chunk, w, min_bucket, max_batch)
+            levels.append(plan)
 
     return CompiledCircuit(
         params=params,
@@ -229,7 +265,48 @@ def compile_circuit(params: Params, builder: CircuitBuilder,
         ct_ops=builder.ct_ops,
         cache_hits=builder.cache_hits,
         roots=roots,
+        multivalue=multivalue,
     )
+
+
+def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
+                    min_bucket: int, max_batch: int) -> None:
+    """Dedup a level chunk's affine inputs into a rotation batch and record
+    each op's (leader, LUT factor weights)."""
+    from fhe_regex_tpu.ops.luts import mv_support_positions, mv_weights
+
+    S = len(mv_support_positions(params))
+    groups: Dict[Tuple, int] = {}
+    leaders: List[Tuple] = []
+    leader = np.zeros(w, np.int32)
+    weights = np.zeros((w, S), np.int32)
+    for i, op in enumerate(chunk):
+        key = (op.in_slots, op.in_coefs, op.const)
+        r = groups.get(key)
+        if r is None:
+            r = len(leaders)
+            groups[key] = r
+            leaders.append(key)
+        leader[i] = r
+        weights[i] = mv_weights(params, op.lut)
+    R = len(leaders)
+    # pad the rotation batch to the same executable shapes as op widths
+    if min_bucket >= SMALL_LEVEL_BATCH:
+        rb = min_bucket if R <= min_bucket else w
+    else:
+        rb = min(_bucket(R, min_bucket), w)
+    rot_slots = np.zeros((rb, 3), np.int32)
+    rot_coefs = np.zeros((rb, 3), np.int32)
+    rot_consts = np.zeros(rb, np.int32)
+    for r, (slots, coefs, const) in enumerate(leaders):
+        rot_slots[r] = slots
+        rot_coefs[r] = coefs
+        rot_consts[r] = const
+    plan.rot_slots = rot_slots
+    plan.rot_coefs = rot_coefs
+    plan.rot_consts = rot_consts
+    plan.mv_weights = weights
+    plan.mv_leader = leader
 
 
 class Executor:
@@ -245,6 +322,7 @@ class Executor:
 
         self.params = params
         self.mesh = mesh
+        self._dev_key = dev_key
         # the server key rides as jit ARGUMENTS, never as closure constants:
         # a closed-over key becomes an embedded HLO literal and a 362 MB
         # module overflows the remote compiler (HTTP 413 on axon)
@@ -298,6 +376,35 @@ class Executor:
     def _level_jit(self):
         return jax.jit(self._run_level, donate_argnums=(1,))
 
+    def _run_level_mv(self, key, slab, vlut, rot_slots, rot_coefs, rot_consts,
+                      mv_weights, mv_leader, out_idx):
+        """Multi-value level: deduped rotations of the common test poly +
+        per-op derived extracts (ops/mv.py)."""
+        params = self.params
+        gathered = slab[rot_slots]                          # [R, 3, n+1]
+        x = jnp.sum(rot_coefs[:, :, None] * gathered, axis=1)
+        x = x.at[:, -1].add(rot_consts * jnp.int32(params.delta))
+        outs = self._mv_core(key, vlut, mv_weights, mv_leader, x)
+        return slab.at[out_idx].set(outs)
+
+    @functools.cached_property
+    def _mv_core(self):
+        from fhe_regex_tpu.ops.mv import make_mv_core
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "multivalue circuits are not sharded yet — run them without "
+                "a mesh")
+        return make_mv_core(self._dev_key)
+
+    @functools.cached_property
+    def _mv_level_jit(self):
+        return jax.jit(self._run_level_mv, donate_argnums=(1,))
+
+    @functools.cached_property
+    def _dev_vlut(self):
+        from fhe_regex_tpu.ops.mv import mv_lut_table
+        return jnp.asarray(mv_lut_table(self.params).view(np.int32))
+
     def _device_luts(self, circuit: "CompiledCircuit"):
         """Device copy of the LUT table, cached on the circuit (uploads once
         per circuit instead of once per match — each host->device transfer
@@ -313,10 +420,16 @@ class Executor:
         (the plans are immutable once compiled)."""
         dl = getattr(circuit, "_dev_levels", None)
         if dl is None:
-            dl = [tuple(jnp.asarray(x) for x in
-                        (lv.in_slots, lv.in_coefs, lv.consts,
-                         lv.lut_idx, lv.out_idx))
-                  for lv in circuit.levels]
+            if circuit.multivalue:
+                dl = [tuple(jnp.asarray(x) for x in
+                            (lv.rot_slots, lv.rot_coefs, lv.rot_consts,
+                             lv.mv_weights, lv.mv_leader, lv.out_idx))
+                      for lv in circuit.levels]
+            else:
+                dl = [tuple(jnp.asarray(x) for x in
+                            (lv.in_slots, lv.in_coefs, lv.consts,
+                             lv.lut_idx, lv.out_idx))
+                      for lv in circuit.levels]
             circuit._dev_levels = dl
         return dl
 
@@ -358,18 +471,23 @@ class Executor:
             if content_blocks.size:
                 flat = _np_to_limbs(content_blocks.reshape(-1, n1), tb)
                 slab = slab.at[1:1 + flat.shape[0]].set(jnp.asarray(flat))
-        luts = self._device_luts(circuit)
+        mv = circuit.multivalue
+        luts = self._dev_vlut if mv else self._device_luts(circuit)
+        level_jit = self._mv_level_jit if mv else self._level_jit
         stats = []
         devs = self._device_levels(circuit)
         for li in range(start_level, len(circuit.levels)):
             lv, dev = circuit.levels[li], devs[li]
             t0 = time.time() if profile else 0.0
-            slab = self._level_jit(self._key_args, slab, luts, *dev)
+            slab = level_jit(self._key_args, slab, luts, *dev)
             if profile:
                 slab.block_until_ready()
-                stats.append({"width": int(lv.lut_idx.shape[0]),
-                              "active": int((lv.lut_idx >= 0).sum()),
-                              "seconds": time.time() - t0})
+                stat = {"width": int(lv.lut_idx.shape[0]),
+                        "active": int((lv.lut_idx >= 0).sum()),
+                        "seconds": time.time() - t0}
+                if mv:
+                    stat["rotations"] = int(lv.rot_slots.shape[0])
+                stats.append(stat)
             if (checkpoint is not None and checkpoint_every > 0
                     and (li + 1) % checkpoint_every == 0
                     and li + 1 < len(circuit.levels)):
@@ -453,6 +571,10 @@ class Executor:
         """
         import os
 
+        if circuit.multivalue:
+            raise NotImplementedError(
+                "run_many does not pack multivalue circuits yet — compile "
+                "with multivalue=False for the batched-contents path")
         if wide_batch is None:
             env = os.environ.get("FHE_REGEX_WIDE_BATCH")
             wide_batch = (env == "1" if env is not None

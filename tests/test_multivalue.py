@@ -126,3 +126,75 @@ def test_mv_pbs_batch_jnp(keys):
     ref_pt = [lwe.decrypt_lwe(p, ck.lwe_key, ref[i].view(np.uint32))
               for i in range(4)]
     assert got == ref_pt
+
+
+# ---------------- end-to-end through the executor ----------------
+
+VECTORS = [
+    ("abc", "/b/", 1), ("abc", "/x/", 0),
+    ("b", "/[a-d]/", 1), ("e", "/[a-d]/", 0),       # Between: shared hi input
+    ("bc", "/[abc][bc]/", 1), ("xc", "/[abc][bc]/", 0),  # Range: shared eq
+    ("abcd", "/^ab|cd$/", 0), ("cd", "/^ab|cd$/", 1),
+    ("cdaabc", "/a*bc/", 1), ("", "/a/", 0),
+    ("abbbbc", "/ab{2,4}c/", 1),
+]
+
+
+@pytest.mark.parametrize("fold", ["reference", "tree"])
+def test_has_match_multivalue(fold, keys):
+    """Full pipeline with shared-rotation levels: identical decrypted bits
+    (zero-noise keys -> exactness by construction), fewer rotations."""
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+
+    ck, sk = keys
+    for content, pattern, want in VECTORS:
+        ct = trivial_encrypt_str(TEST_PARAMS, content)
+        res = has_match(sk, ct, pattern, backend="jnp", fold=fold,
+                        multivalue=True)
+        assert decrypt(ck, res) == want, (content, pattern, fold)
+
+
+def test_multivalue_saves_rotations():
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import compile_circuit
+
+    builder, root = compile_match(2, "/^[a-d][^xyz]$/i", fold="tree")
+    circuit = compile_circuit(TEST_PARAMS, builder, root, multivalue=True)
+    assert circuit.multivalue
+    assert circuit.rotation_count < circuit.pbs_count
+
+
+def test_has_match_multivalue_noisy(noisy_keys):
+    """Real encryption + real noise through the shared-rotation executor."""
+    from fhe_regex_tpu import decrypt, encrypt_str, has_match
+
+    ck, sk = noisy_keys
+    ct = encrypt_str(ck, "bd")
+    for pattern, want in [("/^[a-d][^xyz]$/", 1), ("/^[a-d]x$/", 0),
+                          ("/bd/", 1)]:
+        res = has_match(sk, ct, pattern, backend="jnp", multivalue=True)
+        assert decrypt(ck, res) == want, pattern
+
+
+def test_multivalue_positions_and_patterns(keys):
+    from fhe_regex_tpu import (decrypt, has_match_patterns,
+                               has_match_positions, trivial_encrypt_str)
+
+    ck, sk = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "abcabc")
+    res = has_match_positions(sk, ct, "/abc/", backend="jnp", multivalue=True)
+    assert [decrypt(ck, r) for r in res] == [1, 0, 0, 1, 0, 0]
+    res = has_match_patterns(sk, ct, ["/abc/", "/abd/", "/zz/"],
+                             backend="jnp", multivalue=True)
+    assert [decrypt(ck, r) for r in res] == [1, 0, 0]
+
+
+def test_multivalue_rejects_64bit():
+    from fhe_regex_tpu.params import REF_MESSAGE_2_CARRY_2_64
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import compile_circuit
+
+    builder, root = compile_match(2, "/ab/")
+    with pytest.raises(ValueError, match="32-bit"):
+        compile_circuit(REF_MESSAGE_2_CARRY_2_64, builder, root,
+                        multivalue=True)

@@ -192,3 +192,25 @@ def test_fuzz_multipattern_vs_oracle(seed, engine, keys):
         pytest.skip(f"{patterns!r}: {type(e).__name__}")
     got = [decrypt(ck, res[i]) for i in range(len(patterns))]
     assert got == wants, (patterns, content)
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_multivalue_vs_oracle(seed, keys):
+    """Random patterns through the shared-rotation (multi-value) executor
+    must match the plaintext oracle exactly."""
+    ck, sk = keys
+    rng = random.Random(5000 + seed)
+    pattern = _pattern(rng)
+    content = _content(rng)
+    try:
+        parse(pattern)
+        want = oracle_match(content, pattern)
+    except (ValueError, OracleBudgetExceeded, RecursionError):
+        pytest.skip(f"{pattern!r} not executable / too wide")
+    ct = trivial_encrypt_str(TEST_PARAMS, content)
+    try:
+        res = has_match(sk, ct, pattern, backend="jnp", fold="tree",
+                        branch_budget=200_000, multivalue=True)
+    except Exception as e:
+        pytest.skip(f"{pattern!r}: {type(e).__name__}")
+    assert decrypt(ck, res) == want, (pattern, content)
