@@ -154,7 +154,8 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
                    backend: Optional[str] = None, fold: str = "tree",
                    engine: Optional[str] = None,
                    branch_budget: Optional[int] = None,
-                   wide_batch: Optional[bool] = None) -> np.ndarray:
+                   wide_batch: Optional[bool] = None,
+                   multivalue: Optional[bool] = None) -> np.ndarray:
     """Match one pattern against many equal-length encrypted contents.
 
     The serving fast path: the compiled circuit is shared and every level's
@@ -178,7 +179,9 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
         builder, root = compile_match(contents.shape[1], pattern,
                                       num_blocks=params.num_blocks, fold=fold,
                                       branch_budget=branch_budget)
-    circuit = compile_circuit(params, builder, root)
+    circuit = compile_circuit(params, builder, root,
+                              multivalue=_resolve_multivalue(
+                                  multivalue, params, None))
     executor = _executor_for(server_key, backend)
     result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(
@@ -357,7 +360,8 @@ def has_match_many_patterns(server_key: ServerKey, ct_contents, patterns,
                             backend: Optional[str] = None, fold: str = "tree",
                             engine: Optional[str] = None,
                             branch_budget: Optional[int] = None,
-                            wide_batch: Optional[bool] = None) -> np.ndarray:
+                            wide_batch: Optional[bool] = None,
+                            multivalue: Optional[bool] = None) -> np.ndarray:
     """Match MANY patterns against MANY equal-length encrypted contents.
 
     The full serving cross product in one compiled circuit: pattern-shared
@@ -370,7 +374,9 @@ def has_match_many_patterns(server_key: ServerKey, ct_contents, patterns,
         raise ValueError("expected [C, len, num_blocks, n+1] contents")
     builder, roots = _compile_multi(params, contents.shape[1], patterns,
                                     fold, engine, branch_budget)
-    circuit = compile_circuit(params, builder, roots)
+    circuit = compile_circuit(params, builder, roots,
+                              multivalue=_resolve_multivalue(
+                                  multivalue, params, None))
     executor = _executor_for(server_key, backend)
     result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(

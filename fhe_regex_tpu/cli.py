@@ -39,6 +39,9 @@ def main(argv=None) -> int:
     ap.add_argument("--branch-budget", type=int, default=None,
                     help="cap on circuit branch expansion (clean error "
                          "instead of unbounded compile time)")
+    ap.add_argument("--multivalue", action="store_true",
+                    help="share blind rotations between same-input ops "
+                         "(multi-value bootstrap; 32-bit parameter sets)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
         ct_res = has_match(server_key, ct_content, args.pattern,
                            backend=args.backend, fold=args.fold,
                            engine=args.engine,
-                           branch_budget=args.branch_budget)
+                           branch_budget=args.branch_budget,
+                           multivalue=args.multivalue or None)
     except BranchBudgetExceeded as e:
         print(f"error: {e}", file=sys.stderr)
         return 3

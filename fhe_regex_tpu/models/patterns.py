@@ -28,13 +28,15 @@ class CompiledPattern:
     def __init__(self, pattern: str, params: Optional[Params] = None,
                  min_bucket: Optional[int] = None, fold: str = "tree",
                  engine: Optional[str] = None,
-                 branch_budget: Optional[int] = None):
+                 branch_budget: Optional[int] = None,
+                 multivalue: bool = False):
         self.pattern = pattern
         self.params = params or get_params()
         self.min_bucket = min_bucket
         self.fold = fold
         self.engine = engine
         self.branch_budget = branch_budget
+        self.multivalue = multivalue
         parse(pattern)  # early validation (mirrors main.rs:17-20)
         self._circuits: Dict[int, CompiledCircuit] = {}
 
@@ -59,7 +61,8 @@ class CompiledPattern:
                     branch_budget=self.branch_budget)
             self._circuits[content_len] = compile_circuit(
                 self.params, builder, root,
-                min_bucket=self.min_bucket or default_min_bucket())
+                min_bucket=self.min_bucket or default_min_bucket(),
+                multivalue=self.multivalue)
         return self._circuits[content_len]
 
     def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
@@ -87,7 +90,8 @@ class CompiledPatternSet:
     def __init__(self, patterns, params: Optional[Params] = None,
                  min_bucket: Optional[int] = None, fold: str = "tree",
                  engine: Optional[str] = None,
-                 branch_budget: Optional[int] = None):
+                 branch_budget: Optional[int] = None,
+                 multivalue: bool = False):
         self.patterns = list(patterns)
         if not self.patterns:
             raise ValueError("need at least one pattern")
@@ -96,6 +100,7 @@ class CompiledPatternSet:
         self.fold = fold
         self.engine = engine
         self.branch_budget = branch_budget
+        self.multivalue = multivalue
         for p in self.patterns:
             parse(p)  # early validation (mirrors main.rs:17-20)
         self._circuits: Dict[int, CompiledCircuit] = {}
@@ -110,7 +115,8 @@ class CompiledPatternSet:
                 self.engine, self.branch_budget)
             self._circuits[content_len] = compile_circuit(
                 self.params, builder, roots,
-                min_bucket=self.min_bucket or default_min_bucket())
+                min_bucket=self.min_bucket or default_min_bucket(),
+                multivalue=self.multivalue)
         return self._circuits[content_len]
 
     def match(self, executor, ct_content: np.ndarray) -> np.ndarray:

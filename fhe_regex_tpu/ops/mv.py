@@ -103,6 +103,37 @@ def mv_extract(params: Params, accs, weights, leader):
     return big
 
 
+def _check_mv(dev_key: DeviceServerKey) -> None:
+    if dev_key.params.torus_bits != 32:
+        raise ValueError("multi-value bootstrap requires a 32-bit torus set")
+    if dev_key.backend not in MV_BACKENDS:
+        raise ValueError(
+            f"multi-value bootstrap not supported on {dev_key.backend!r}")
+
+
+def make_mv_rotate_core(dev_key: DeviceServerKey):
+    """(key_args, vlut, rot_cts [R, n+1]) -> accumulators [R, k+1, N]."""
+    _check_mv(dev_key)
+    params = dev_key.params
+
+    def core(key, vlut, rot_cts):
+        return _rotate_acc(dev_key, key, vlut, mod_switch(params, rot_cts))
+
+    return core
+
+
+def make_mv_finish_core(dev_key: DeviceServerKey):
+    """(key_args, accs, weights, leader) -> [W, n+1] derived outputs."""
+    _check_mv(dev_key)
+    params = dev_key.params
+
+    def core(key, accs, weights, leader):
+        big = mv_extract(params, accs, weights, leader)
+        return _key_switch(dev_key, key, big)
+
+    return core
+
+
 def make_mv_core(dev_key: DeviceServerKey):
     """(key_args, vlut, weights, leader, rot_cts) -> [W, n+1] outputs.
 
@@ -110,18 +141,11 @@ def make_mv_core(dev_key: DeviceServerKey):
     rotation); every op's output is derived from its leader's accumulator.
     Pair with ops.pbs.key_arrays(dev_key), as make_pbs_core.
     """
-    params = dev_key.params
-    if params.torus_bits != 32:
-        raise ValueError("multi-value bootstrap requires a 32-bit torus set")
-    if dev_key.backend not in MV_BACKENDS:
-        raise ValueError(
-            f"multi-value bootstrap not supported on {dev_key.backend!r}")
+    rotate = make_mv_rotate_core(dev_key)
+    finish = make_mv_finish_core(dev_key)
 
     def core(key, vlut, weights, leader, rot_cts):
-        ms = mod_switch(params, rot_cts)
-        accs = _rotate_acc(dev_key, key, vlut, ms)
-        big = mv_extract(params, accs, weights, leader)
-        return _key_switch(dev_key, key, big)
+        return finish(key, rotate(key, vlut, rot_cts), weights, leader)
 
     return core
 

@@ -53,6 +53,7 @@ class LevelPlan:
     rot_consts: "np.ndarray | None" = None
     mv_weights: "np.ndarray | None" = None
     mv_leader: "np.ndarray | None" = None
+    mv_rot_count: int = 0          # active rotations (R before padding)
 
 
 @dataclasses.dataclass
@@ -80,9 +81,7 @@ class CompiledCircuit:
         path; smaller under multivalue when ops share inputs)."""
         if not self.multivalue:
             return self.pbs_count
-        return sum(int((np.abs(lv.rot_coefs).sum(1)
-                        + np.abs(lv.rot_consts)).astype(bool).sum())
-                   for lv in self.levels)
+        return sum(lv.mv_rot_count for lv in self.levels)
 
     @property
     def all_roots(self) -> List[Node]:
@@ -307,6 +306,7 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
     plan.rot_consts = rot_consts
     plan.mv_weights = weights
     plan.mv_leader = leader
+    plan.mv_rot_count = R
 
 
 class Executor:
@@ -399,6 +399,39 @@ class Executor:
     @functools.cached_property
     def _mv_level_jit(self):
         return jax.jit(self._run_level_mv, donate_argnums=(1,))
+
+    def _mv_rotate_many(self, key, slab, rot_slots, rot_coefs, rot_consts):
+        """Phase A of a packed multi-value level: one fixed-shape rotation
+        launch (accs returned, not written to the slab)."""
+        params = self.params
+        gathered = slab[rot_slots]
+        x = jnp.sum(rot_coefs[:, :, None] * gathered, axis=1)
+        x = x.at[:, -1].add(rot_consts * jnp.int32(params.delta))
+        return self._mv_rotate_core(key, self._dev_vlut, x)
+
+    def _mv_finish_many(self, key, slab, accs, weights, leader, out_idx):
+        """Phase B: derived extracts + keyswitch over the level's packed op
+        batch (width-flexible XLA work, no Mosaic kernel)."""
+        outs = self._mv_finish_core(key, accs, weights, leader)
+        return slab.at[out_idx].set(outs)
+
+    @functools.cached_property
+    def _mv_rotate_core(self):
+        from fhe_regex_tpu.ops.mv import make_mv_rotate_core
+        return make_mv_rotate_core(self._dev_key)
+
+    @functools.cached_property
+    def _mv_finish_core(self):
+        from fhe_regex_tpu.ops.mv import make_mv_finish_core
+        return make_mv_finish_core(self._dev_key)
+
+    @functools.cached_property
+    def _mv_rotate_many_jit(self):
+        return jax.jit(self._mv_rotate_many)
+
+    @functools.cached_property
+    def _mv_finish_many_jit(self):
+        return jax.jit(self._mv_finish_many, donate_argnums=(1,))
 
     @functools.cached_property
     def _dev_vlut(self):
@@ -554,6 +587,81 @@ class Executor:
         cache[key] = chunks
         return chunks
 
+    @staticmethod
+    def _mv_pad_rows(n: int) -> int:
+        """Bounded shape set for packed mv arrays: {64, 256, multiples of
+        1024} — keeps the number of distinct XLA executables small."""
+        for b in (64, 256, 1024):
+            if n <= b:
+                return b
+        return -(-n // 1024) * 1024
+
+    def _device_chunks_many_mv(self, circuit: "CompiledCircuit", C: int,
+                               wide_batch: bool):
+        """Packed run_many plan for a multivalue circuit.
+
+        Per level: rotation chunks in the fixed kernel shapes (phase A) and
+        the packed derived-extract arrays (phase B).  Leaders index the
+        CONCATENATION of the level's chunk outputs, so actives are laid out
+        contiguously before the tail padding."""
+        cache = getattr(circuit, "_dev_chunks_mv", None)
+        if cache is None:
+            cache = {}
+            circuit._dev_chunks_mv = cache
+        key = (C, bool(wide_batch))
+        if key in cache:
+            return cache[key]
+        S = circuit.num_slots
+        offs = (np.arange(C, dtype=np.int32) * S)[:, None]
+        plans = []
+        for lv in circuit.levels:
+            act = lv.lut_idx >= 0
+            R = lv.mv_rot_count
+            # --- phase A: rotations tiled per content, fixed-shape chunks
+            r_slots = lv.rot_slots[:R]
+            r_coefs = lv.rot_coefs[:R]
+            r_consts = lv.rot_consts[:R]
+            t_rs = np.where(r_coefs[None] != 0,
+                            r_slots[None] + offs[:, None], 0).reshape(-1, 3)
+            t_rc = np.broadcast_to(r_coefs, (C,) + r_coefs.shape).reshape(-1, 3)
+            t_rk = np.broadcast_to(r_consts, (C,) + r_consts.shape).reshape(-1)
+            total_rot = C * R
+            sizes = _chunk_sizes(total_rot, wide_batch)
+            pad = sum(sizes) - total_rot
+            if pad:
+                t_rs = np.concatenate([t_rs, np.zeros((pad, 3), np.int32)])
+                t_rc = np.concatenate([t_rc, np.zeros((pad, 3), np.int32)])
+                t_rk = np.concatenate([t_rk, np.zeros(pad, np.int32)])
+            rot_chunks = []
+            c0 = 0
+            for w in sizes:
+                sl = slice(c0, c0 + w)
+                c0 += w
+                rot_chunks.append(tuple(jnp.asarray(x) for x in
+                                        (t_rs[sl], t_rc[sl], t_rk[sl])))
+            acc_rows = self._mv_pad_rows(sum(sizes))
+            # --- phase B: packed ops; leader g of (content c, op leader r)
+            # is c*R + r (actives are contiguous in the chunk concat)
+            a_w = lv.mv_weights[act]
+            a_ld = lv.mv_leader[act]
+            a_out = lv.out_idx[act]
+            t_w = np.broadcast_to(a_w, (C,) + a_w.shape).reshape(-1, a_w.shape[1])
+            t_ld = (a_ld[None] + (np.arange(C, dtype=np.int32) * R)[:, None]
+                    ).reshape(-1)
+            t_out = (a_out[None] + offs).reshape(-1)
+            wb = self._mv_pad_rows(t_out.shape[0])
+            padb = wb - t_out.shape[0]
+            if padb:
+                t_w = np.concatenate([t_w, np.zeros((padb, t_w.shape[1]),
+                                                    np.int32)])
+                t_ld = np.concatenate([t_ld, np.zeros(padb, np.int32)])
+                t_out = np.concatenate([t_out, np.full(padb, S * C - 1,
+                                                       np.int32)])
+            fin = tuple(jnp.asarray(x) for x in (t_w, t_ld, t_out))
+            plans.append((rot_chunks, acc_rows, fin))
+        cache[key] = plans
+        return plans
+
     def run_many(self, circuit: CompiledCircuit, contents: np.ndarray,
                  wide_batch: "bool | None" = None) -> np.ndarray:
         """Match ONE compiled pattern against MANY encrypted contents.
@@ -571,10 +679,6 @@ class Executor:
         """
         import os
 
-        if circuit.multivalue:
-            raise NotImplementedError(
-                "run_many does not pack multivalue circuits yet — compile "
-                "with multivalue=False for the batched-contents path")
         if wide_batch is None:
             env = os.environ.get("FHE_REGEX_WIDE_BATCH")
             wide_batch = (env == "1" if env is not None
@@ -594,9 +698,22 @@ class Executor:
                     + np.arange(L, dtype=np.int32)[None, :]).reshape(-1)
             slab = slab.at[jnp.asarray(rows)].set(
                 jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
-        luts = self._device_luts(circuit)
-        for dev in self._device_chunks_many(circuit, C, wide_batch):
-            slab = self._level_jit(self._key_args, slab, luts, *dev)
+        if circuit.multivalue:
+            k1N = (params.glwe_dimension + 1, params.polynomial_size)
+            for rot_chunks, acc_rows, fin in self._device_chunks_many_mv(
+                    circuit, C, wide_batch):
+                accs = [self._mv_rotate_many_jit(self._key_args, slab, *ch)
+                        for ch in rot_chunks]
+                got = sum(a.shape[0] for a in accs)
+                if got < acc_rows:
+                    accs.append(jnp.zeros((acc_rows - got,) + k1N, jnp.int32))
+                acc = accs[0] if len(accs) == 1 else jnp.concatenate(accs)
+                slab = self._mv_finish_many_jit(self._key_args, slab, acc,
+                                                *fin)
+        else:
+            luts = self._device_luts(circuit)
+            for dev in self._device_chunks_many(circuit, C, wide_batch):
+                slab = self._level_jit(self._key_args, slab, luts, *dev)
         dt = U32 if tb == 32 else np.uint64
         roots = circuit.all_roots
         R = len(roots)

@@ -66,35 +66,37 @@ class MatchService:
         self._lock = threading.Lock()      # one device, serialized matches
         self._programs: dict = {}
 
-    def _program(self, pattern, fold: str, branch_budget):
+    def _program(self, pattern, fold: str, branch_budget,
+                 multivalue: bool = False):
         """pattern: one str -> CompiledPattern; list of str ->
         CompiledPatternSet (one shared multi-root circuit)."""
         from fhe_regex_tpu.models.patterns import (CompiledPattern,
                                                    CompiledPatternSet)
 
         multi = isinstance(pattern, (list, tuple))
-        key = (tuple(pattern) if multi else pattern, fold, branch_budget)
+        key = (tuple(pattern) if multi else pattern, fold, branch_budget,
+               multivalue)
         if key not in self._programs:
             cls = CompiledPatternSet if multi else CompiledPattern
             self._programs[key] = cls(
                 pattern, params=self.params, fold=fold,
-                branch_budget=branch_budget)
+                branch_budget=branch_budget, multivalue=multivalue)
         return self._programs[key]
 
     def compile(self, pattern, content_len: int, fold: str = "tree",
-                branch_budget=None) -> dict:
-        prog = self._program(pattern, fold, branch_budget)
+                branch_budget=None, multivalue: bool = False) -> dict:
+        prog = self._program(pattern, fold, branch_budget, multivalue)
         return prog.stats(content_len)
 
     def match(self, pattern, ct: np.ndarray, fold: str = "tree",
-              branch_budget=None) -> np.ndarray:
-        prog = self._program(pattern, fold, branch_budget)
+              branch_budget=None, multivalue: bool = False) -> np.ndarray:
+        prog = self._program(pattern, fold, branch_budget, multivalue)
         with self._lock:
             return prog.match(self.executor, ct)
 
     def match_many(self, pattern, cts: np.ndarray, fold: str = "tree",
-                   branch_budget=None) -> np.ndarray:
-        prog = self._program(pattern, fold, branch_budget)
+                   branch_budget=None, multivalue: bool = False) -> np.ndarray:
+        prog = self._program(pattern, fold, branch_budget, multivalue)
         circuit = prog.circuit(cts.shape[1])
         with self._lock:
             return self.executor.run_many(circuit, np.ascontiguousarray(cts))
@@ -131,21 +133,22 @@ def make_handler(service: MatchService):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 fold = req.get("fold", "tree")
                 budget = req.get("branch_budget")
+                mv = bool(req.get("multivalue", False))
                 # "pattern": one str; "patterns": list -> one shared
                 # multi-root circuit, result gains a leading P axis
                 pat = (req["patterns"] if "patterns" in req
                        else req["pattern"])
                 if self.path == "/compile":
                     out = service.compile(pat, int(req["content_len"]),
-                                          fold, budget)
+                                          fold, budget, mv)
                     self._reply(200, out)
                 elif self.path == "/match":
                     ct = decode_array(req["ct"])
-                    res = service.match(pat, ct, fold, budget)
+                    res = service.match(pat, ct, fold, budget, mv)
                     self._reply(200, {"ct": encode_array(res)})
                 elif self.path == "/match_many":
                     cts = decode_array(req["ct"])
-                    res = service.match_many(pat, cts, fold, budget)
+                    res = service.match_many(pat, cts, fold, budget, mv)
                     self._reply(200, {"ct": encode_array(res)})
                 else:
                     self._reply(404, {"error": "unknown path"})

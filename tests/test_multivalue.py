@@ -198,3 +198,45 @@ def test_multivalue_rejects_64bit():
     with pytest.raises(ValueError, match="32-bit"):
         compile_circuit(REF_MESSAGE_2_CARRY_2_64, builder, root,
                         multivalue=True)
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_run_many_multivalue(wide, keys):
+    """Packed serving path with shared rotations: identical results to the
+    classic run_many (zero-noise keys)."""
+    import numpy as np
+
+    from fhe_regex_tpu import decrypt, trivial_encrypt_str
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    contents = ["bq", "xq", "dd", "aq", "cz"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    builder, root = compile_match(2, "/^[a-d][^xyz]$/i", fold="tree")
+    ex = Executor(TEST_PARAMS, prepare_server_key(TEST_PARAMS, sk, "jnp"))
+    classic = compile_circuit(TEST_PARAMS, builder, root)
+    mv = compile_circuit(TEST_PARAMS, builder, root, multivalue=True)
+    want = [decrypt(ck, r) for r in ex.run_many(classic, cts,
+                                                wide_batch=wide)]
+    got = [decrypt(ck, r) for r in ex.run_many(mv, cts, wide_batch=wide)]
+    # Q1: [a-d] is strict > 'a', so 'b'/'d'/'c' match, 'a' doesn't;
+    # [^xyz] rejects 'z'
+    assert got == want == [1, 0, 1, 0, 0]
+
+
+def test_run_many_multivalue_multiroot(keys):
+    import numpy as np
+
+    from fhe_regex_tpu import decrypt, has_match_many_patterns, trivial_encrypt_str
+
+    ck, sk = keys
+    contents = ["abx", "cdx", "xxx"]
+    pats = ["/ab/", "/cd/", "/[a-d]d/"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    ref = has_match_many_patterns(sk, cts, pats, backend="jnp")
+    got = has_match_many_patterns(sk, cts, pats, backend="jnp",
+                                  multivalue=True)
+    assert [[decrypt(ck, got[c, p]) for p in range(3)] for c in range(3)] \
+        == [[decrypt(ck, ref[c, p]) for p in range(3)] for c in range(3)]
