@@ -400,14 +400,15 @@ class Executor:
     def _mv_level_jit(self):
         return jax.jit(self._run_level_mv, donate_argnums=(1,))
 
-    def _mv_rotate_many(self, key, slab, rot_slots, rot_coefs, rot_consts):
+    def _mv_rotate_many(self, key, slab, vlut, rot_slots, rot_coefs,
+                        rot_consts):
         """Phase A of a packed multi-value level: one fixed-shape rotation
         launch (accs returned, not written to the slab)."""
         params = self.params
         gathered = slab[rot_slots]
         x = jnp.sum(rot_coefs[:, :, None] * gathered, axis=1)
         x = x.at[:, -1].add(rot_consts * jnp.int32(params.delta))
-        return self._mv_rotate_core(key, self._dev_vlut, x)
+        return self._mv_rotate_core(key, vlut, x)
 
     def _mv_finish_many(self, key, slab, accs, weights, leader, out_idx):
         """Phase B: derived extracts + keyswitch over the level's packed op
@@ -700,9 +701,11 @@ class Executor:
                 jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
         if circuit.multivalue:
             k1N = (params.glwe_dimension + 1, params.polynomial_size)
+            vlut = self._dev_vlut
             for rot_chunks, acc_rows, fin in self._device_chunks_many_mv(
                     circuit, C, wide_batch):
-                accs = [self._mv_rotate_many_jit(self._key_args, slab, *ch)
+                accs = [self._mv_rotate_many_jit(self._key_args, slab, vlut,
+                                                 *ch)
                         for ch in rot_chunks]
                 got = sum(a.shape[0] for a in accs)
                 if got < acc_rows:
