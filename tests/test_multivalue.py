@@ -240,3 +240,46 @@ def test_run_many_multivalue_multiroot(keys):
                                   multivalue=True)
     assert [[decrypt(ck, got[c, p]) for p in range(3)] for c in range(3)] \
         == [[decrypt(ck, ref[c, p]) for p in range(3)] for c in range(3)]
+
+
+def test_mv_output_noise_matches_model(noisy_keys):
+    """Empirical phase-error std of multi-value outputs stays within the
+    analytic model: var_out ~= ||u||^2 * var_br + var_ks (the blind-rotation
+    term is the only amplified one)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from fhe_regex_tpu.ops.mv import mv_pbs_batch
+    from fhe_regex_tpu.ops.pbs import server_key_device_arrays
+
+    ck, sk = noisy_keys
+    p = TEST_PARAMS_NOISY
+    key = LUT_GT_COMBINE                      # worst production factor
+    u2 = mv_norm2(p, key)
+    B = 48
+    rot = np.stack([lwe.encrypt_lwe(p, ck.lwe_key, 1, ck.rng)
+                    for _ in range(B)])
+    weights = np.broadcast_to(mv_weights(p, key), (B, 16)).astype(np.int32)
+    leader = np.arange(B, dtype=np.int32)
+    bsk, ksk = server_key_device_arrays(sk)
+    out = np.asarray(mv_pbs_batch(p, bsk, ksk, jnp.asarray(weights.copy()),
+                                  jnp.asarray(leader),
+                                  jnp.asarray(rot.view(np.int32))))
+    # f(1) for or_and3 = 1 -> expected plaintext 1; measure phase error
+    n = p.lwe_dimension
+    with np.errstate(over="ignore"):
+        phase = (out[:, n].view(np.uint32)
+                 - (out[:, :n].view(np.uint32)
+                    * ck.lwe_key[None, :].astype(np.uint32)).sum(
+                        axis=1, dtype=np.uint32))
+    err = ((phase.astype(np.int64) - p.delta + (1 << 31)) % (1 << 32)
+           - (1 << 31))
+    r = p.noise_budget_report()
+    model = math.sqrt(u2 * r["std_blind_rotation"] ** 2
+                      + r["std_keyswitch"] ** 2)
+    emp = float(np.std(err))
+    assert emp < 2.0 * model, (emp, model)
+    # and it must actually be amplified vs a tight classic-only bound when
+    # u2 is large (sanity that the measurement isn't trivially zero)
+    assert emp > 0
