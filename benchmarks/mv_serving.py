@@ -6,7 +6,10 @@ proportional to the ROTATION count — so the 20-43% rotation sharing on
 class/alternation patterns translates to real throughput (unlike the
 latency path, where fixed per-launch costs mask it; docs/BENCHMARKS.md).
 
-Env: SERVE_BATCH (contents, default 32), MV_PATTERN, MV_CONTENT.
+Env: SERVE_BATCH (contents, default 32), MV_PATTERN, MV_CONTENT,
+MV_FLIP_POS (position mutated to break the match on odd contents; default
+0, which breaks the anchored default pattern — set it inside the matched
+region for unanchored patterns).
 """
 
 from __future__ import annotations
@@ -37,11 +40,12 @@ def main():
     base = os.environ.get("MV_CONTENT", "cdqrstuv" + "x" * 55 + "e")
     ck, sk = _get_keys(params)
 
+    flip = int(os.environ.get("MV_FLIP_POS", "0"))
     contents = []
     for i in range(C):
         s = list(base)
         if i % 2:
-            s[0] = "q"          # break the anchor -> no match
+            s[flip] = "q"       # break the match on odd contents
         contents.append("".join(s))
     cts = np.stack([trivial_encrypt_str(params, c) for c in contents])
     want = [1 if i % 2 == 0 else 0 for i in range(C)]

@@ -273,6 +273,23 @@ def _compile_multi(params: Params, content_len: int, patterns,
                                branch_budget=branch_budget)
 
 
+def _compile_positions(params: Params, content_len: int, pattern: str,
+                       fold: str, engine: Optional[str],
+                       branch_budget: Optional[int]):
+    if engine is None:
+        from fhe_regex_tpu.regex.native import available
+        engine = "native" if available() else "python"
+    if engine == "native":
+        from fhe_regex_tpu.regex.native import compile_match_native_positions
+        return compile_match_native_positions(
+            content_len, pattern, num_blocks=params.num_blocks, fold=fold,
+            branch_budget=branch_budget)
+    from fhe_regex_tpu.regex.engine import compile_match_positions
+    return compile_match_positions(content_len, pattern,
+                                   num_blocks=params.num_blocks, fold=fold,
+                                   branch_budget=branch_budget)
+
+
 def has_match_patterns(server_key: ServerKey, ct_content: np.ndarray,
                        patterns, backend: Optional[str] = None, mesh=None,
                        fold: str = "tree", engine: Optional[str] = None,
@@ -326,19 +343,8 @@ def has_match_positions(server_key: ServerKey, ct_content: np.ndarray,
     from fhe_regex_tpu.regex.executor import default_min_bucket
 
     params = server_key.params
-    if engine is None:
-        from fhe_regex_tpu.regex.native import available
-        engine = "native" if available() else "python"
-    if engine == "native":
-        from fhe_regex_tpu.regex.native import compile_match_native_positions
-        builder, roots = compile_match_native_positions(
-            len(ct_content), pattern, num_blocks=params.num_blocks,
-            fold=fold, branch_budget=branch_budget)
-    else:
-        from fhe_regex_tpu.regex.engine import compile_match_positions
-        builder, roots = compile_match_positions(
-            len(ct_content), pattern, num_blocks=params.num_blocks,
-            fold=fold, branch_budget=branch_budget)
+    builder, roots = _compile_positions(params, len(ct_content), pattern,
+                                        fold, engine, branch_budget)
     min_bucket = default_min_bucket()
     if mesh is not None:
         min_bucket = max(min_bucket, int(mesh.devices.size))

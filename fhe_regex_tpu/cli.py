@@ -86,6 +86,9 @@ def main(argv=None) -> int:
     except BranchBudgetExceeded as e:
         print(f"error: {e}", file=sys.stderr)
         return 3
+    except ValueError as e:   # e.g. --multivalue on a 64-bit parameter set
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     res = decrypt(client_key, ct_res)
     print(f"res: {res}")
     return 0

@@ -182,6 +182,19 @@ def build_branches(content_len: int, re: P.RegExpr, c_pos: int,
     raise ValueError(f"unmatched regex variant: {re!r}")
 
 
+def _fold_branches(builder: CircuitBuilder,
+                   branches: List[LazyExecution]) -> Node:
+    """Force branches in order and OR-fold left (engine.rs:22-35); empty
+    list -> trivial FALSE (Q8).  Returns the forced root bit."""
+    if not branches:
+        return builder.force_node(builder.ct_false())
+    res = branches[0](builder)
+    for branch in branches[1:]:
+        branch_res = branch(builder)
+        res = builder.ct_or(res, branch_res)
+    return builder.force_node(res)
+
+
 def _fold_pattern(builder: CircuitBuilder, content_len: int, pattern: str,
                   budget: BranchBudget) -> Node:
     """Enumerate one pattern's branches onto `builder` and OR-fold them
@@ -190,14 +203,7 @@ def _fold_pattern(builder: CircuitBuilder, content_len: int, pattern: str,
     branches: List[LazyExecution] = []
     for i in range(content_len):
         branches.extend(b for b, _ in build_branches(content_len, re, i, budget))
-    if len(branches) <= 1:
-        res = branches[0](builder) if branches else builder.ct_false()
-    else:
-        res = branches[0](builder)
-        for branch in branches[1:]:
-            branch_res = branch(builder)
-            res = builder.ct_or(res, branch_res)
-    return builder.force_node(res)
+    return _fold_branches(builder, branches)
 
 
 def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
@@ -252,14 +258,7 @@ def compile_match_positions(content_len: int, pattern: str,
     roots: List[Node] = []
     for i in range(content_len):
         branches = [b for b, _ in build_branches(content_len, re, i, budget)]
-        if not branches:
-            res = builder.ct_false()
-        else:
-            res = branches[0](builder)
-            for branch in branches[1:]:
-                branch_res = branch(builder)
-                res = builder.ct_or(res, branch_res)
-        roots.append(builder.force_node(res))
+        roots.append(_fold_branches(builder, branches))
     return builder, roots
 
 

@@ -279,6 +279,7 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
     leaders: List[Tuple] = []
     leader = np.zeros(w, np.int32)
     weights = np.zeros((w, S), np.int32)
+    wcache: Dict[Tuple, np.ndarray] = {}
     for i, op in enumerate(chunk):
         key = (op.in_slots, op.in_coefs, op.const)
         r = groups.get(key)
@@ -287,7 +288,10 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
             groups[key] = r
             leaders.append(key)
         leader[i] = r
-        weights[i] = mv_weights(params, op.lut)
+        wv = wcache.get(op.lut)
+        if wv is None:
+            wv = wcache[op.lut] = mv_weights(params, op.lut)
+        weights[i] = wv
     R = len(leaders)
     # pad the rotation batch to the same executable shapes as op widths
     if min_bucket >= SMALL_LEVEL_BATCH:
@@ -597,14 +601,22 @@ class Executor:
                 return b
         return -(-n // 1024) * 1024
 
+    # accumulator-buffer bound for packed multivalue levels: 4096 rows of
+    # (k+1)*N int32 = 64 MB.  Compiled level plans hold <= MAX_LEVEL_BATCH
+    # rotations, so every content group spans >= 16 contents.
+    MAX_MV_ACC_ROWS = 4096
+
     def _device_chunks_many_mv(self, circuit: "CompiledCircuit", C: int,
                                wide_batch: bool):
         """Packed run_many plan for a multivalue circuit.
 
-        Per level: rotation chunks in the fixed kernel shapes (phase A) and
-        the packed derived-extract arrays (phase B).  Leaders index the
-        CONCATENATION of the level's chunk outputs, so actives are laid out
-        contiguously before the tail padding."""
+        Per (level, content group): rotation chunks in the fixed kernel
+        shapes (phase A) and the packed derived-extract arrays (phase B).
+        Leaders index the CONCATENATION of the group's chunk outputs, so
+        actives are laid out contiguously before the tail padding.
+        Contents are independent, so each level is split into groups of at
+        most MAX_MV_ACC_ROWS rotations — device memory stays bounded like
+        the classic chunked path."""
         cache = getattr(circuit, "_dev_chunks_mv", None)
         if cache is None:
             cache = {}
@@ -613,53 +625,60 @@ class Executor:
         if key in cache:
             return cache[key]
         S = circuit.num_slots
-        offs = (np.arange(C, dtype=np.int32) * S)[:, None]
         plans = []
         for lv in circuit.levels:
             act = lv.lut_idx >= 0
             R = lv.mv_rot_count
-            # --- phase A: rotations tiled per content, fixed-shape chunks
-            r_slots = lv.rot_slots[:R]
-            r_coefs = lv.rot_coefs[:R]
-            r_consts = lv.rot_consts[:R]
-            t_rs = np.where(r_coefs[None] != 0,
-                            r_slots[None] + offs[:, None], 0).reshape(-1, 3)
-            t_rc = np.broadcast_to(r_coefs, (C,) + r_coefs.shape).reshape(-1, 3)
-            t_rk = np.broadcast_to(r_consts, (C,) + r_consts.shape).reshape(-1)
-            total_rot = C * R
-            sizes = _chunk_sizes(total_rot, wide_batch)
-            pad = sum(sizes) - total_rot
-            if pad:
-                t_rs = np.concatenate([t_rs, np.zeros((pad, 3), np.int32)])
-                t_rc = np.concatenate([t_rc, np.zeros((pad, 3), np.int32)])
-                t_rk = np.concatenate([t_rk, np.zeros(pad, np.int32)])
-            rot_chunks = []
-            c0 = 0
-            for w in sizes:
-                sl = slice(c0, c0 + w)
-                c0 += w
-                rot_chunks.append(tuple(jnp.asarray(x) for x in
-                                        (t_rs[sl], t_rc[sl], t_rk[sl])))
-            acc_rows = self._mv_pad_rows(sum(sizes))
-            # --- phase B: packed ops; leader g of (content c, op leader r)
-            # is c*R + r (actives are contiguous in the chunk concat)
+            group = max(1, min(C, self.MAX_MV_ACC_ROWS // max(1, R)))
             a_w = lv.mv_weights[act]
             a_ld = lv.mv_leader[act]
             a_out = lv.out_idx[act]
-            t_w = np.broadcast_to(a_w, (C,) + a_w.shape).reshape(-1, a_w.shape[1])
-            t_ld = (a_ld[None] + (np.arange(C, dtype=np.int32) * R)[:, None]
-                    ).reshape(-1)
-            t_out = (a_out[None] + offs).reshape(-1)
-            wb = self._mv_pad_rows(t_out.shape[0])
-            padb = wb - t_out.shape[0]
-            if padb:
-                t_w = np.concatenate([t_w, np.zeros((padb, t_w.shape[1]),
-                                                    np.int32)])
-                t_ld = np.concatenate([t_ld, np.zeros(padb, np.int32)])
-                t_out = np.concatenate([t_out, np.full(padb, S * C - 1,
-                                                       np.int32)])
-            fin = tuple(jnp.asarray(x) for x in (t_w, t_ld, t_out))
-            plans.append((rot_chunks, acc_rows, fin))
+            r_slots = lv.rot_slots[:R]
+            r_coefs = lv.rot_coefs[:R]
+            r_consts = lv.rot_consts[:R]
+            for g0 in range(0, C, group):
+                g = min(group, C - g0)
+                offs = ((np.arange(g0, g0 + g, dtype=np.int32) * S)[:, None])
+                # --- phase A: rotations tiled per content, fixed-shape chunks
+                t_rs = np.where(r_coefs[None] != 0,
+                                r_slots[None] + offs[:, None], 0).reshape(-1, 3)
+                t_rc = np.broadcast_to(r_coefs,
+                                       (g,) + r_coefs.shape).reshape(-1, 3)
+                t_rk = np.broadcast_to(r_consts,
+                                       (g,) + r_consts.shape).reshape(-1)
+                total_rot = g * R
+                sizes = _chunk_sizes(total_rot, wide_batch)
+                pad = sum(sizes) - total_rot
+                if pad:
+                    t_rs = np.concatenate([t_rs, np.zeros((pad, 3), np.int32)])
+                    t_rc = np.concatenate([t_rc, np.zeros((pad, 3), np.int32)])
+                    t_rk = np.concatenate([t_rk, np.zeros(pad, np.int32)])
+                rot_chunks = []
+                c0 = 0
+                for w in sizes:
+                    sl = slice(c0, c0 + w)
+                    c0 += w
+                    rot_chunks.append(tuple(jnp.asarray(x) for x in
+                                            (t_rs[sl], t_rc[sl], t_rk[sl])))
+                acc_rows = self._mv_pad_rows(sum(sizes))
+                # --- phase B: packed ops; leader of (content c, op leader r)
+                # is (c - g0)*R + r (actives contiguous in the chunk concat)
+                t_w = np.broadcast_to(a_w, (g,) + a_w.shape).reshape(
+                    -1, a_w.shape[1])
+                t_ld = (a_ld[None]
+                        + (np.arange(g, dtype=np.int32) * R)[:, None]
+                        ).reshape(-1)
+                t_out = (a_out[None] + offs).reshape(-1)
+                wb = self._mv_pad_rows(t_out.shape[0])
+                padb = wb - t_out.shape[0]
+                if padb:
+                    t_w = np.concatenate([t_w, np.zeros((padb, t_w.shape[1]),
+                                                        np.int32)])
+                    t_ld = np.concatenate([t_ld, np.zeros(padb, np.int32)])
+                    t_out = np.concatenate([t_out, np.full(padb, S * C - 1,
+                                                           np.int32)])
+                fin = tuple(jnp.asarray(x) for x in (t_w, t_ld, t_out))
+                plans.append((rot_chunks, acc_rows, fin))
         cache[key] = plans
         return plans
 

@@ -552,13 +552,9 @@ struct CompileResult {
     int num_slots;
 };
 
-// Enumerate one pattern's branches and OR-fold them on a (possibly shared)
-// builder — the C++ twin of engine.py::_fold_pattern.  Throws
-// BranchBudgetExceeded.
-NodeV fold_pattern(Builder& bld, const Ast* re, int content_len, Budget& bu) {
-    std::vector<Branch> branches;
-    for (int i = 0; i < content_len; i++)
-        build_branches(content_len, re, i, branches, bu);
+// OR-fold an enumerated branch list (engine.rs:22-35; empty -> trivial
+// FALSE, Q8) — the C++ twin of engine.py::_fold_branches.
+NodeV fold_branches(Builder& bld, const std::vector<Branch>& branches) {
     if (branches.empty()) return bld.ct_false();
     NodeV res = run_lazy(bld, branches[0].first.get());
     for (size_t i = 1; i < branches.size(); i++) {
@@ -566,6 +562,16 @@ NodeV fold_pattern(Builder& bld, const Ast* re, int content_len, Budget& bu) {
         res = bld.gate(1, res, br);
     }
     return res;
+}
+
+// Enumerate one pattern's branches and OR-fold them on a (possibly shared)
+// builder — the C++ twin of engine.py::_fold_pattern.  Throws
+// BranchBudgetExceeded.
+NodeV fold_pattern(Builder& bld, const Ast* re, int content_len, Budget& bu) {
+    std::vector<Branch> branches;
+    for (int i = 0; i < content_len; i++)
+        build_branches(content_len, re, i, branches, bu);
+    return fold_branches(bld, branches);
 }
 
 void write_ops(int64_t* q, const Builder& bld) {
@@ -578,6 +584,37 @@ void write_ops(int64_t* q, const Builder& bld) {
         *q++ = op.out_slot;
         *q++ = op.level;
     }
+}
+
+// Multi-root result blob (circuit_compile_multi / circuit_compile_positions
+// share this layout; decoded by regex/native.py::_multiroot_from_blob):
+// int64 header [n_ops, ct_ops, cache_hits, n_roots, num_content_slots] then
+// n_roots x (const, sign, slot) triples, then the 11-int64 op records.
+int64_t* write_multiroot_blob(const Builder& bld,
+                              const std::vector<BitVal>& roots) {
+    size_t n = bld.ops.size();
+    size_t nr = roots.size();
+    int64_t* out =
+        (int64_t*)std::malloc((5 + nr * 3 + n * 11) * sizeof(int64_t));
+    out[0] = (int64_t)n;
+    out[1] = bld.ct_ops;
+    out[2] = bld.cache_hits;
+    out[3] = (int64_t)nr;
+    out[4] = bld.num_content_slots;
+    int64_t* q = out + 5;
+    for (auto& r : roots) {
+        *q++ = r.konst;
+        *q++ = r.sign;
+        *q++ = r.slot;
+    }
+    write_ops(q, bld);
+    return out;
+}
+
+int64_t* budget_exceeded_blob() {
+    int64_t* out = (int64_t*)std::calloc(5, sizeof(int64_t));
+    out[0] = -1;
+    return out;
 }
 
 }  // namespace
@@ -650,28 +687,10 @@ int64_t* circuit_compile_multi(const int32_t* asts, const int32_t* ast_lens,
             NodeV res = fold_pattern(bld, re, content_len, bu);
             roots.push_back(bld.force(res.val));
         } catch (const BranchBudgetExceeded&) {
-            int64_t* out = (int64_t*)std::calloc(5, sizeof(int64_t));
-            out[0] = -1;
-            return out;
+            return budget_exceeded_blob();
         }
     }
-    size_t n = bld.ops.size();
-    size_t nr = roots.size();
-    int64_t* out =
-        (int64_t*)std::malloc((5 + nr * 3 + n * 11) * sizeof(int64_t));
-    out[0] = (int64_t)n;
-    out[1] = bld.ct_ops;
-    out[2] = bld.cache_hits;
-    out[3] = (int64_t)nr;
-    out[4] = bld.num_content_slots;
-    int64_t* q = out + 5;
-    for (auto& r : roots) {
-        *q++ = r.konst;
-        *q++ = r.sign;
-        *q++ = r.slot;
-    }
-    write_ops(q, bld);
-    return out;
+    return write_multiroot_blob(bld, roots);
 }
 
 // Per-start-position match bits: one root per content position, each the
@@ -695,40 +714,12 @@ int64_t* circuit_compile_positions(const int32_t* ast, int32_t ast_len,
         for (int i = 0; i < content_len; i++) {
             std::vector<Branch> branches;
             build_branches(content_len, re, i, branches, bu);
-            NodeV res{};
-            if (branches.empty()) {
-                res = bld.ct_false();
-            } else {
-                res = run_lazy(bld, branches[0].first.get());
-                for (size_t j = 1; j < branches.size(); j++) {
-                    NodeV br = run_lazy(bld, branches[j].first.get());
-                    res = bld.gate(1, res, br);
-                }
-            }
-            roots.push_back(bld.force(res.val));
+            roots.push_back(bld.force(fold_branches(bld, branches).val));
         }
     } catch (const BranchBudgetExceeded&) {
-        int64_t* out = (int64_t*)std::calloc(5, sizeof(int64_t));
-        out[0] = -1;
-        return out;
+        return budget_exceeded_blob();
     }
-    size_t n = bld.ops.size();
-    size_t nr = roots.size();
-    int64_t* out =
-        (int64_t*)std::malloc((5 + nr * 3 + n * 11) * sizeof(int64_t));
-    out[0] = (int64_t)n;
-    out[1] = bld.ct_ops;
-    out[2] = bld.cache_hits;
-    out[3] = (int64_t)nr;
-    out[4] = bld.num_content_slots;
-    int64_t* q = out + 5;
-    for (auto& r : roots) {
-        *q++ = r.konst;
-        *q++ = r.sign;
-        *q++ = r.slot;
-    }
-    write_ops(q, bld);
-    return out;
+    return write_multiroot_blob(bld, roots);
 }
 
 void circuit_free(int64_t* p) { std::free(p); }
