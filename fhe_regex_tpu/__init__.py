@@ -197,16 +197,15 @@ def _resolve_multivalue(multivalue: Optional[bool], params: Params,
 
     The multi-value plan (ops/mv.py) shares blind rotations between ops
     with identical inputs — fewer rotations, identical decrypted results,
-    >= 5 sigma noise margin (tests/test_multivalue.py).  32-bit parameter
-    sets only; not sharded yet."""
+    and the noise margin holds at both torus widths (blind-rotation noise
+    is the only amplified term; tests/test_multivalue.py).  Not sharded
+    yet."""
     import os
 
     if multivalue is None:
         multivalue = os.environ.get("FHE_REGEX_MULTIVALUE") == "1"
-        if multivalue and (params.torus_bits != 32 or mesh is not None):
+        if multivalue and mesh is not None:
             return False   # env default silently degrades where unsupported
-    if multivalue and params.torus_bits != 32:
-        raise ValueError("multivalue needs a 32-bit parameter set")
     if multivalue and mesh is not None:
         raise ValueError("multivalue circuits are not sharded yet")
     return bool(multivalue)

@@ -41,7 +41,7 @@ def main(argv=None) -> int:
                          "instead of unbounded compile time)")
     ap.add_argument("--multivalue", action="store_true",
                     help="share blind rotations between same-input ops "
-                         "(multi-value bootstrap; 32-bit parameter sets)")
+                         "(multi-value bootstrap)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(

@@ -46,19 +46,44 @@ from fhe_regex_tpu.params import Params
 
 I32 = jnp.int32
 
-MV_BACKENDS = ("jnp", "pallas", "pallas-fused")
+MV_BACKENDS = ("jnp", "pallas", "pallas-fused", "jnp64", "pallas64")
 
 
 def mv_lut_table(params: Params) -> np.ndarray:
-    """The 1-row LUT table every multi-value rotation uses (v)."""
-    return mv_testpoly(params)[None]
+    """The 1-row LUT table every multi-value rotation uses (v).
+
+    32-bit: [1, N] uint32 view; 64-bit: [1, N, 2] int32 limb pairs (the
+    executor's device LUT convention)."""
+    v = mv_testpoly(params)[None]
+    if params.torus_bits == 32:
+        return v
+    from fhe_regex_tpu.ops.pbs64 import split64_np
+    lo, hi = split64_np(v)
+    return np.stack([lo, hi], axis=-1)
 
 
-def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts_ms):
-    """Backend dispatch: mod-switched cts -> accumulators [R, k+1, N]."""
+def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts):
+    """Backend dispatch: affine-combined cts -> accumulators.
+
+    32-bit: cts [R, n+1] -> [R, k+1, N]; 64-bit: cts [R, n+1, 2] limb
+    pairs -> (acc_lo, acc_hi) each [R, k+1, N]."""
     params = dev_key.params
     backend = dev_key.backend
-    idx = jnp.zeros(cts_ms.shape[0], I32)
+    idx = jnp.zeros(cts.shape[0], I32)
+    if backend in ("jnp64", "pallas64"):
+        from fhe_regex_tpu.ops import pbs64 as p64
+        ms = p64.mod_switch64(params, cts[..., 0], cts[..., 1])
+        if backend == "jnp64":
+            lo, hi = p64.blind_rotate64(params, key[0], vlut[..., 0],
+                                        vlut[..., 1], idx, ms)
+        else:
+            from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64
+            lo, hi = blind_rotate_fused64(params, key[0], vlut[..., 0],
+                                          vlut[..., 1], idx, ms,
+                                          getattr(dev_key, "stack_rows",
+                                                  False))
+        return jnp.stack([lo, hi], axis=-1)       # [R, k+1, N, 2]
+    cts_ms = mod_switch(params, cts)
     if backend == "jnp":
         return blind_rotate(params, key[0], vlut, idx, cts_ms)
     if backend == "pallas":
@@ -78,6 +103,11 @@ def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts_ms):
 
 def _key_switch(dev_key: DeviceServerKey, key, big):
     params = dev_key.params
+    if dev_key.backend in ("jnp64", "pallas64"):
+        from fhe_regex_tpu.ops.pbs64 import key_switch64
+        out_lo, out_hi = key_switch64(params, key[1], big[..., 0],
+                                      big[..., 1])
+        return jnp.stack([out_lo, out_hi], axis=-1)
     if dev_key.backend == "jnp":
         return key_switch(params, key[1], big)
     from fhe_regex_tpu.ops.pbs_pallas import key_switch_mxu
@@ -103,32 +133,69 @@ def mv_extract(params: Params, accs, weights, leader):
     return big
 
 
+def mv_extract64(params: Params, accs, weights, leader):
+    """64-bit derived big-LWEs: accs [R, k+1, N, 2] int32 limb pairs ->
+    [W, kN+1, 2] (carry-exact weighted sums; |weights| < 32)."""
+    from fhe_regex_tpu.ops import pbs64 as p64
+
+    pos = mv_support_positions(params)
+    big_lo = big_hi = None
+    for m, p in enumerate(pos):
+        p = int(p)
+        rlo = jnp.roll(accs[..., 0], p, axis=-1)
+        rhi = jnp.roll(accs[..., 1], p, axis=-1)
+        nlo, nhi = p64.neg64(rlo[..., :p], rhi[..., :p])
+        rlo = rlo.at[..., :p].set(nlo)
+        rhi = rhi.at[..., :p].set(nhi)
+        se_lo, se_hi = p64.sample_extract64(params, rlo, rhi)  # [R, kN+1]
+        g_lo, g_hi = se_lo[leader], se_hi[leader]              # [W, kN+1]
+        w_m = weights[:, m][:, None]
+        aw = jnp.abs(w_m)
+        plo = jnp.zeros_like(g_lo)
+        phi = jnp.zeros_like(g_hi)
+        for b in range(5):                 # w*x = sum_b bit_b(|w|)*(x << b)
+            sl, sh = (g_lo, g_hi) if b == 0 else p64.shl64(g_lo, g_hi, b)
+            on = ((aw >> b) & 1).astype(bool)
+            tlo = jnp.where(on, sl, 0)
+            thi = jnp.where(on, sh, 0)
+            plo, phi = p64.add64(plo, phi, tlo, thi)
+        nlo2, nhi2 = p64.neg64(plo, phi)
+        plo = jnp.where(w_m < 0, nlo2, plo)
+        phi = jnp.where(w_m < 0, nhi2, phi)
+        if big_lo is None:
+            big_lo, big_hi = plo, phi
+        else:
+            big_lo, big_hi = p64.add64(big_lo, big_hi, plo, phi)
+    return jnp.stack([big_lo, big_hi], axis=-1)
+
+
 def _check_mv(dev_key: DeviceServerKey) -> None:
-    if dev_key.params.torus_bits != 32:
-        raise ValueError("multi-value bootstrap requires a 32-bit torus set")
     if dev_key.backend not in MV_BACKENDS:
         raise ValueError(
             f"multi-value bootstrap not supported on {dev_key.backend!r}")
 
 
 def make_mv_rotate_core(dev_key: DeviceServerKey):
-    """(key_args, vlut, rot_cts [R, n+1]) -> accumulators [R, k+1, N]."""
+    """(key_args, vlut, rot_cts) -> accumulators.
+
+    32-bit: rot_cts [R, n+1] -> [R, k+1, N]; 64-bit: rot_cts [R, n+1, 2]
+    limb pairs -> [R, k+1, N, 2]."""
     _check_mv(dev_key)
-    params = dev_key.params
 
     def core(key, vlut, rot_cts):
-        return _rotate_acc(dev_key, key, vlut, mod_switch(params, rot_cts))
+        return _rotate_acc(dev_key, key, vlut, rot_cts)
 
     return core
 
 
 def make_mv_finish_core(dev_key: DeviceServerKey):
-    """(key_args, accs, weights, leader) -> [W, n+1] derived outputs."""
+    """(key_args, accs, weights, leader) -> [W, n+1(, 2)] derived outputs."""
     _check_mv(dev_key)
     params = dev_key.params
+    extract = mv_extract if params.torus_bits == 32 else mv_extract64
 
     def core(key, accs, weights, leader):
-        big = mv_extract(params, accs, weights, leader)
+        big = extract(params, accs, weights, leader)
         return _key_switch(dev_key, key, big)
 
     return core

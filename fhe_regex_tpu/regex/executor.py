@@ -202,8 +202,6 @@ def compile_circuit(params: Params, builder: CircuitBuilder,
         if not roots:
             raise ValueError("need at least one root")
         root = roots[0]
-    if multivalue and params.torus_bits != 32:
-        raise ValueError("multivalue circuits need a 32-bit parameter set")
     lut_ids: Dict[LutKey, int] = {}
     for op in builder.ops:
         if op.lut not in lut_ids:
@@ -337,42 +335,47 @@ class Executor:
             from fhe_regex_tpu.parallel.mesh import make_sharded_pbs_core
             self._core = make_sharded_pbs_core(dev_key, mesh)
 
-    def _run_level(self, key, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
-                   lv_lut_idx, lv_out_idx):
+    def _affine_combine(self, gathered, lv_in_coefs, lv_consts):
+        """sum_k coef_k * slab[slot_k] + const * delta, width-generic.
+
+        gathered [W, 3, n+1] (32-bit) or [W, 3, n+1, 2] (limb pairs)."""
         params = self.params
-        gathered = slab[lv_in_slots]                       # [W, 3, n+1(, 2)]
         if params.torus_bits == 32:
             x = jnp.sum(lv_in_coefs[:, :, None] * gathered, axis=1)
-            x = x.at[:, -1].add(lv_consts * jnp.int32(params.delta))
-        else:
-            # 64-bit torus: int32 limb pairs with carry-exact arithmetic.
-            # All affine coefficients are sign x {1,2,4} (bit_ins scales),
-            # so the multiply is a selected static shift + negation.
-            from fhe_regex_tpu.ops import pbs64 as p64
-            W, _, n1, _ = gathered.shape
-            xlo = jnp.zeros((W, n1), jnp.int32)
-            xhi = jnp.zeros((W, n1), jnp.int32)
-            for i in range(gathered.shape[1]):
-                c = lv_in_coefs[:, i][:, None]
-                lo, hi = gathered[:, i, :, 0], gathered[:, i, :, 1]
-                l1, h1 = p64.shl64(lo, hi, 1)
-                l2, h2 = p64.shl64(lo, hi, 2)
-                ac = jnp.abs(c)
-                plo = jnp.where(ac == 2, l1, jnp.where(ac == 4, l2, lo))
-                phi = jnp.where(ac == 2, h1, jnp.where(ac == 4, h2, hi))
-                nlo, nhi = p64.neg64(plo, phi)
-                plo = jnp.where(c < 0, nlo, plo)
-                phi = jnp.where(c < 0, nhi, phi)
-                plo = jnp.where(c == 0, 0, plo)
-                phi = jnp.where(c == 0, 0, phi)
-                xlo, xhi = p64.add64(xlo, xhi, plo, phi)
-            delta_shift = params.torus_bits - (
-                params.message_bits + params.carry_bits + 1)
-            clo, chi = p64.i32_to_64_shifted(lv_consts, delta_shift)
-            blo, bhi = p64.add64(xlo[:, -1], xhi[:, -1], clo, chi)
-            xlo = xlo.at[:, -1].set(blo)
-            xhi = xhi.at[:, -1].set(bhi)
-            x = jnp.stack([xlo, xhi], axis=-1)
+            return x.at[:, -1].add(lv_consts * jnp.int32(params.delta))
+        # 64-bit torus: int32 limb pairs with carry-exact arithmetic.
+        # All affine coefficients are sign x {1,2,4} (bit_ins scales),
+        # so the multiply is a selected static shift + negation.
+        from fhe_regex_tpu.ops import pbs64 as p64
+        W, _, n1, _ = gathered.shape
+        xlo = jnp.zeros((W, n1), jnp.int32)
+        xhi = jnp.zeros((W, n1), jnp.int32)
+        for i in range(gathered.shape[1]):
+            c = lv_in_coefs[:, i][:, None]
+            lo, hi = gathered[:, i, :, 0], gathered[:, i, :, 1]
+            l1, h1 = p64.shl64(lo, hi, 1)
+            l2, h2 = p64.shl64(lo, hi, 2)
+            ac = jnp.abs(c)
+            plo = jnp.where(ac == 2, l1, jnp.where(ac == 4, l2, lo))
+            phi = jnp.where(ac == 2, h1, jnp.where(ac == 4, h2, hi))
+            nlo, nhi = p64.neg64(plo, phi)
+            plo = jnp.where(c < 0, nlo, plo)
+            phi = jnp.where(c < 0, nhi, phi)
+            plo = jnp.where(c == 0, 0, plo)
+            phi = jnp.where(c == 0, 0, phi)
+            xlo, xhi = p64.add64(xlo, xhi, plo, phi)
+        delta_shift = params.torus_bits - (
+            params.message_bits + params.carry_bits + 1)
+        clo, chi = p64.i32_to_64_shifted(lv_consts, delta_shift)
+        blo, bhi = p64.add64(xlo[:, -1], xhi[:, -1], clo, chi)
+        xlo = xlo.at[:, -1].set(blo)
+        xhi = xhi.at[:, -1].set(bhi)
+        return jnp.stack([xlo, xhi], axis=-1)
+
+    def _run_level(self, key, slab, luts, lv_in_slots, lv_in_coefs, lv_consts,
+                   lv_lut_idx, lv_out_idx):
+        gathered = slab[lv_in_slots]                       # [W, 3, n+1(, 2)]
+        x = self._affine_combine(gathered, lv_in_coefs, lv_consts)
         outs = self._core(key, luts, jnp.maximum(lv_lut_idx, 0), x)
         return slab.at[lv_out_idx].set(outs)
 
@@ -384,10 +387,8 @@ class Executor:
                       mv_weights, mv_leader, out_idx):
         """Multi-value level: deduped rotations of the common test poly +
         per-op derived extracts (ops/mv.py)."""
-        params = self.params
-        gathered = slab[rot_slots]                          # [R, 3, n+1]
-        x = jnp.sum(rot_coefs[:, :, None] * gathered, axis=1)
-        x = x.at[:, -1].add(rot_consts * jnp.int32(params.delta))
+        gathered = slab[rot_slots]                    # [R, 3, n+1(, 2)]
+        x = self._affine_combine(gathered, rot_coefs, rot_consts)
         outs = self._mv_core(key, vlut, mv_weights, mv_leader, x)
         return slab.at[out_idx].set(outs)
 
@@ -408,10 +409,8 @@ class Executor:
                         rot_consts):
         """Phase A of a packed multi-value level: one fixed-shape rotation
         launch (accs returned, not written to the slab)."""
-        params = self.params
         gathered = slab[rot_slots]
-        x = jnp.sum(rot_coefs[:, :, None] * gathered, axis=1)
-        x = x.at[:, -1].add(rot_consts * jnp.int32(params.delta))
+        x = self._affine_combine(gathered, rot_coefs, rot_consts)
         return self._mv_rotate_core(key, vlut, x)
 
     def _mv_finish_many(self, key, slab, accs, weights, leader, out_idx):
@@ -720,6 +719,8 @@ class Executor:
                 jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
         if circuit.multivalue:
             k1N = (params.glwe_dimension + 1, params.polynomial_size)
+            if tb != 32:
+                k1N = k1N + (2,)
             vlut = self._dev_vlut
             for rot_chunks, acc_rows, fin in self._device_chunks_many_mv(
                     circuit, C, wide_batch):

@@ -189,15 +189,54 @@ def test_multivalue_positions_and_patterns(keys):
     assert [decrypt(ck, r) for r in res] == [1, 0, 0]
 
 
-def test_multivalue_rejects_64bit():
-    from fhe_regex_tpu.params import REF_MESSAGE_2_CARRY_2_64
-    from fhe_regex_tpu.regex.engine import compile_match
-    from fhe_regex_tpu.regex.executor import compile_circuit
+def test_factorization_exact_64bit():
+    """The factorization holds at the 64-bit torus width too."""
+    from fhe_regex_tpu.params import TEST_PARAMS_64 as P64
 
-    builder, root = compile_match(2, "/ab/")
-    with pytest.raises(ValueError, match="32-bit"):
-        compile_circuit(REF_MESSAGE_2_CARRY_2_64, builder, root,
-                        multivalue=True)
+    N = P64.polynomial_size
+    v = golden.mv_testpoly(P64)
+    pos = mv_support_positions(P64)
+    for key in [LUT_EQ(3), LUT_GT(7), LUT_OR2, LUT_GT_COMBINE]:
+        t = golden.make_lut_poly(P64, lut_fn(key))
+        w = mv_weights(P64, key)
+        u = np.zeros(N, dtype=np.uint64)
+        u[pos] = np.asarray(w, np.int64).astype(np.uint64)
+        prod = negacyclic_polymul(u, v, 64)
+        assert np.array_equal(prod.astype(t.dtype), t), key
+
+
+@pytest.fixture(scope="module")
+def keys64():
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.params import TEST_PARAMS_64 as P64
+    return gen_keys(P64, seed=11)
+
+
+def test_has_match_multivalue_64bit(keys64):
+    """Full 64-bit pipeline with shared rotations (int32 limb pairs):
+    identical decrypted bits to the classic jnp64 path."""
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from fhe_regex_tpu.params import TEST_PARAMS_64 as P64
+
+    ck, sk = keys64
+    for content, pattern, want in [("abc", "/b/", 1), ("abc", "/x/", 0),
+                                   ("b", "/[a-d]/", 1), ("e", "/[a-d]/", 0),
+                                   ("cd", "/^ab|cd$/", 1)]:
+        ct = trivial_encrypt_str(P64, content)
+        res = has_match(sk, ct, pattern, multivalue=True)
+        assert res.dtype == np.uint64
+        assert decrypt(ck, res) == want, (content, pattern)
+
+
+def test_run_many_multivalue_64bit(keys64):
+    from fhe_regex_tpu import decrypt, has_match_many, trivial_encrypt_str
+    from fhe_regex_tpu.params import TEST_PARAMS_64 as P64
+
+    ck, sk = keys64
+    contents = ["bq", "xq", "dd"]
+    cts = np.stack([trivial_encrypt_str(P64, c) for c in contents])
+    res = has_match_many(sk, cts, "/^[a-d][^xyz]$/i", multivalue=True)
+    assert [decrypt(ck, res[i]) for i in range(3)] == [1, 0, 1]
 
 
 @pytest.mark.parametrize("wide", [False, True])
