@@ -198,16 +198,13 @@ def _resolve_multivalue(multivalue: Optional[bool], params: Params,
     The multi-value plan (ops/mv.py) shares blind rotations between ops
     with identical inputs — fewer rotations, identical decrypted results,
     and the noise margin holds at both torus widths (blind-rotation noise
-    is the only amplified term; tests/test_multivalue.py).  Not sharded
-    yet."""
+    is the only amplified term; tests/test_multivalue.py).  Sharded under
+    a mesh via parallel/mesh.make_sharded_mv_core."""
     import os
 
+    del params, mesh   # supported at both widths and under a mesh
     if multivalue is None:
         multivalue = os.environ.get("FHE_REGEX_MULTIVALUE") == "1"
-        if multivalue and mesh is not None:
-            return False   # env default silently degrades where unsupported
-    if multivalue and mesh is not None:
-        raise ValueError("multivalue circuits are not sharded yet")
     return bool(multivalue)
 
 

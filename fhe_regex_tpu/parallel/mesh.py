@@ -62,6 +62,41 @@ def make_sharded_pbs_fn(dev_key: DeviceServerKey, mesh: Mesh):
     return sharded
 
 
+def make_sharded_mv_core(dev_key: DeviceServerKey, mesh: Mesh):
+    """Sharded multi-value level core (ops/mv.py) for Executor._run_level_mv.
+
+    (key_args, vlut, weights, leader, rot_cts) -> outputs, with BOTH batch
+    axes sharded: each device rotates its slice of the deduped rotation
+    batch, the accumulators are all-gathered over ICI (R x (k+1) x N int32
+    <= a few MB per level), and each device derives its slice of the op
+    outputs from the replicated accumulators.  Rotation and op widths must
+    be multiples of the mesh size (compile with min_bucket >= mesh size).
+    """
+    from fhe_regex_tpu.ops.mv import make_mv_finish_core, make_mv_rotate_core
+    from fhe_regex_tpu.ops.pbs import key_arrays
+
+    rotate = make_mv_rotate_core(dev_key)
+    finish = make_mv_finish_core(dev_key)
+    n_key = len(key_arrays(dev_key))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((P(),) * n_key, P(), P(BATCH_AXIS), P(BATCH_AXIS),
+                  P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    def sharded(key, vlut, weights, leader, rot_cts):
+        accs_local = rotate(key, vlut, rot_cts)          # [R/D, ...]
+        # leaders index the FULL rotation batch: gather it (tiled concat
+        # restores global row order) — a few MB per level over ICI
+        accs = jax.lax.all_gather(accs_local, BATCH_AXIS, tiled=True)
+        return finish(key, accs, weights, leader)
+
+    return sharded
+
+
 def make_sharded_pbs_core(dev_key: DeviceServerKey, mesh: Mesh):
     """Sharded PBS with the server key as explicit REPLICATED arguments.
 

@@ -394,11 +394,10 @@ class Executor:
 
     @functools.cached_property
     def _mv_core(self):
-        from fhe_regex_tpu.ops.mv import make_mv_core
         if self.mesh is not None:
-            raise NotImplementedError(
-                "multivalue circuits are not sharded yet — run them without "
-                "a mesh")
+            from fhe_regex_tpu.parallel.mesh import make_sharded_mv_core
+            return make_sharded_mv_core(self._dev_key, self.mesh)
+        from fhe_regex_tpu.ops.mv import make_mv_core
         return make_mv_core(self._dev_key)
 
     @functools.cached_property

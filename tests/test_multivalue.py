@@ -322,3 +322,20 @@ def test_mv_output_noise_matches_model(noisy_keys):
     # and it must actually be amplified vs a tight classic-only bound when
     # u2 is large (sanity that the measurement isn't trivially zero)
     assert emp > 0
+
+
+def test_multivalue_sharded_mesh(keys):
+    """Sharded mv levels: rotation batch sharded over an 8-virtual-device
+    mesh, accumulators all-gathered, op outputs sharded — identical bits."""
+    import jax
+
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from fhe_regex_tpu.parallel.mesh import make_mesh
+
+    ck, sk = keys
+    mesh = make_mesh(len(jax.devices()))
+    ct = trivial_encrypt_str(TEST_PARAMS, "bd")
+    for pattern, want in [("/^[a-d][^xyz]$/", 1), ("/bd/", 1), ("/zz/", 0)]:
+        res = has_match(sk, ct, pattern, backend="jnp", mesh=mesh,
+                        multivalue=True)
+        assert decrypt(ck, res) == want, pattern
