@@ -214,3 +214,35 @@ def test_fuzz_multivalue_vs_oracle(seed, keys):
     except Exception as e:
         pytest.skip(f"{pattern!r}: {type(e).__name__}")
     assert decrypt(ck, res) == want, (pattern, content)
+
+
+@pytest.fixture(scope="module")
+def keys64_fuzz():
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+    return gen_keys(TEST_PARAMS_64, seed=21)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_64bit_vs_oracle(seed, keys64_fuzz):
+    """Random patterns through the 64-bit limb-pair pipeline (classic and
+    multi-value) must match the plaintext oracle."""
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+
+    ck, sk = keys64_fuzz
+    rng = random.Random(9000 + seed)
+    pattern = _pattern(rng)
+    content = _content(rng)
+    try:
+        parse(pattern)
+        want = oracle_match(content, pattern)
+    except (ValueError, OracleBudgetExceeded, RecursionError):
+        pytest.skip(f"{pattern!r} not executable / too wide")
+    ct = trivial_encrypt_str(TEST_PARAMS_64, content)
+    for mv in (False, True):
+        try:
+            res = has_match(sk, ct, pattern, fold="tree",
+                            branch_budget=200_000, multivalue=mv)
+        except Exception as e:
+            pytest.skip(f"{pattern!r}: {type(e).__name__}")
+        assert decrypt(ck, res) == want, (pattern, content, mv)
