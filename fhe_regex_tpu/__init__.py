@@ -43,6 +43,7 @@ __all__ = [
     "has_match_patterns",
     "has_match_many_patterns",
     "has_match_positions",
+    "has_match_many_positions",
     "decrypt",
     "compile_match",
     "BranchBudgetExceeded",
@@ -383,6 +384,38 @@ def has_match_many_patterns(server_key: ServerKey, ct_contents, patterns,
     result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(
         "%d contents x %d patterns (%d ops, %d bootstraps in %d levels)",
+        contents.shape[0], len(roots), circuit.ct_ops, circuit.pbs_count,
+        len(circuit.levels),
+    )
+    return result
+
+
+def has_match_many_positions(server_key: ServerKey, ct_contents,
+                             pattern: str, backend: Optional[str] = None,
+                             fold: str = "tree",
+                             engine: Optional[str] = None,
+                             branch_budget: Optional[int] = None,
+                             wide_batch: Optional[bool] = None,
+                             multivalue: Optional[bool] = None) -> np.ndarray:
+    """Per-offset match bits for MANY equal-length encrypted contents.
+
+    The batched-serving form of ``has_match_positions``: one compiled
+    multi-root circuit, levels packed across contents.  Returns
+    ``[C, len, num_blocks, n+1]``.
+    """
+    params = server_key.params
+    contents = np.ascontiguousarray(ct_contents)
+    if contents.ndim != 4:
+        raise ValueError("expected [C, len, num_blocks, n+1] contents")
+    builder, roots = _compile_positions(params, contents.shape[1], pattern,
+                                        fold, engine, branch_budget)
+    circuit = compile_circuit(params, builder, roots,
+                              multivalue=_resolve_multivalue(
+                                  multivalue, params, None))
+    executor = _executor_for(server_key, backend)
+    result = executor.run_many(circuit, contents, wide_batch=wide_batch)
+    logger.info(
+        "%d contents x %d positions (%d ops, %d bootstraps in %d levels)",
         contents.shape[0], len(roots), circuit.ct_ops, circuit.pbs_count,
         len(circuit.levels),
     )

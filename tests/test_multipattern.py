@@ -172,3 +172,17 @@ def test_native_positions_matches_python(fold):
     assert (nb.ct_ops, nb.cache_hits) == (pb.ct_ops, pb.cache_hits)
     assert [r.val for r in nroots] == [r.val for r in proots]
     assert nb.ops == pb.ops
+
+
+@pytest.mark.parametrize("mv", [False, True])
+def test_has_match_many_positions(mv, keys):
+    from fhe_regex_tpu import has_match_many_positions
+
+    ck, sk = keys
+    contents = ["abcabc", "xabcxx", "xxxxxx"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    res = has_match_many_positions(sk, cts, "/abc/", backend="jnp",
+                                   multivalue=mv)
+    assert res.shape[:2] == (3, 6)
+    got = [[decrypt(ck, res[c, i]) for i in range(6)] for c in range(3)]
+    assert got == [_oracle_positions(c, "/abc/") for c in contents]
