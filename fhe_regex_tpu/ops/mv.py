@@ -114,13 +114,17 @@ def _key_switch(dev_key: DeviceServerKey, key, big):
     return key_switch_mxu(params, key[1], big)
 
 
-def mv_extract(params: Params, accs, weights, leader):
+def mv_extract(params: Params, accs, weights, leader, positions=None):
     """Derived big-LWEs from shared accumulators.
 
     accs [R, k+1, N]; weights [W, S] int32 (S support positions);
     leader [W] int32 row of each op's rotation.  -> [W, kN+1] int32.
+
+    positions: static tuple of support coefficient positions matching
+    weights' columns (default: the full production support) — level plans
+    pass only the columns with any nonzero weight, skipping dead rolls.
     """
-    pos = mv_support_positions(params)
+    pos = mv_support_positions(params) if positions is None else positions
     big = None
     for m, p in enumerate(pos):
         w_m = weights[:, m]
@@ -133,12 +137,12 @@ def mv_extract(params: Params, accs, weights, leader):
     return big
 
 
-def mv_extract64(params: Params, accs, weights, leader):
+def mv_extract64(params: Params, accs, weights, leader, positions=None):
     """64-bit derived big-LWEs: accs [R, k+1, N, 2] int32 limb pairs ->
     [W, kN+1, 2] (carry-exact weighted sums; |weights| < 32)."""
     from fhe_regex_tpu.ops import pbs64 as p64
 
-    pos = mv_support_positions(params)
+    pos = mv_support_positions(params) if positions is None else positions
     big_lo = big_hi = None
     for m, p in enumerate(pos):
         p = int(p)
@@ -189,13 +193,15 @@ def make_mv_rotate_core(dev_key: DeviceServerKey):
 
 
 def make_mv_finish_core(dev_key: DeviceServerKey):
-    """(key_args, accs, weights, leader) -> [W, n+1(, 2)] derived outputs."""
+    """(key_args, accs, weights, leader, positions=None) ->
+    [W, n+1(, 2)] derived outputs.  `positions` must be a STATIC tuple
+    (it selects which negacyclic rolls are emitted)."""
     _check_mv(dev_key)
     params = dev_key.params
     extract = mv_extract if params.torus_bits == 32 else mv_extract64
 
-    def core(key, accs, weights, leader):
-        big = extract(params, accs, weights, leader)
+    def core(key, accs, weights, leader, positions=None):
+        big = extract(params, accs, weights, leader, positions)
         return _key_switch(dev_key, key, big)
 
     return core
@@ -211,8 +217,9 @@ def make_mv_core(dev_key: DeviceServerKey):
     rotate = make_mv_rotate_core(dev_key)
     finish = make_mv_finish_core(dev_key)
 
-    def core(key, vlut, weights, leader, rot_cts):
-        return finish(key, rotate(key, vlut, rot_cts), weights, leader)
+    def core(key, vlut, weights, leader, rot_cts, positions=None):
+        return finish(key, rotate(key, vlut, rot_cts), weights, leader,
+                      positions)
 
     return core
 

@@ -62,7 +62,8 @@ def make_sharded_pbs_fn(dev_key: DeviceServerKey, mesh: Mesh):
     return sharded
 
 
-def make_sharded_mv_core(dev_key: DeviceServerKey, mesh: Mesh):
+def make_sharded_mv_core(dev_key: DeviceServerKey, mesh: Mesh,
+                         positions=None):
     """Sharded multi-value level core (ops/mv.py) for Executor._run_level_mv.
 
     (key_args, vlut, weights, leader, rot_cts) -> outputs, with BOTH batch
@@ -92,7 +93,7 @@ def make_sharded_mv_core(dev_key: DeviceServerKey, mesh: Mesh):
         # leaders index the FULL rotation batch: gather it (tiled concat
         # restores global row order) — a few MB per level over ICI
         accs = jax.lax.all_gather(accs_local, BATCH_AXIS, tiled=True)
-        return finish(key, accs, weights, leader)
+        return finish(key, accs, weights, leader, positions)
 
     return sharded
 

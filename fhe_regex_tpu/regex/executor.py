@@ -51,9 +51,12 @@ class LevelPlan:
     rot_slots: "np.ndarray | None" = None
     rot_coefs: "np.ndarray | None" = None
     rot_consts: "np.ndarray | None" = None
-    mv_weights: "np.ndarray | None" = None
+    mv_weights: "np.ndarray | None" = None   # columns = mv_positions only
     mv_leader: "np.ndarray | None" = None
     mv_rot_count: int = 0          # active rotations (R before padding)
+    # STATIC support positions actually used by this level's LUT factors
+    # (dead support columns would cost a full negacyclic roll each)
+    mv_positions: "tuple | None" = None
 
 
 @dataclasses.dataclass
@@ -303,12 +306,19 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
         rot_slots[r] = slots
         rot_coefs[r] = coefs
         rot_consts[r] = const
+    # drop dead support columns: each kept column costs one negacyclic
+    # roll of the whole accumulator batch at run time
+    pos = mv_support_positions(params)
+    active_cols = np.flatnonzero(weights.any(axis=0))
+    if active_cols.size == 0:
+        active_cols = np.asarray([0])
     plan.rot_slots = rot_slots
     plan.rot_coefs = rot_coefs
     plan.rot_consts = rot_consts
-    plan.mv_weights = weights
+    plan.mv_weights = np.ascontiguousarray(weights[:, active_cols])
     plan.mv_leader = leader
     plan.mv_rot_count = R
+    plan.mv_positions = tuple(int(pos[c]) for c in active_cols)
 
 
 class Executor:
@@ -384,25 +394,36 @@ class Executor:
         return jax.jit(self._run_level, donate_argnums=(1,))
 
     def _run_level_mv(self, key, slab, vlut, rot_slots, rot_coefs, rot_consts,
-                      mv_weights, mv_leader, out_idx):
+                      mv_weights, mv_leader, out_idx, positions):
         """Multi-value level: deduped rotations of the common test poly +
-        per-op derived extracts (ops/mv.py)."""
+        per-op derived extracts (ops/mv.py).  `positions` is static."""
         gathered = slab[rot_slots]                    # [R, 3, n+1(, 2)]
         x = self._affine_combine(gathered, rot_coefs, rot_consts)
-        outs = self._mv_core(key, vlut, mv_weights, mv_leader, x)
+        outs = self._mv_core(key, vlut, mv_weights, mv_leader, x, positions)
         return slab.at[out_idx].set(outs)
 
     @functools.cached_property
     def _mv_core(self):
+        """(key, vlut, weights, leader, rot_cts, positions) -> outputs."""
         if self.mesh is not None:
             from fhe_regex_tpu.parallel.mesh import make_sharded_mv_core
-            return make_sharded_mv_core(self._dev_key, self.mesh)
+            cache = {}
+
+            def core(key, vlut, weights, leader, rot_cts, positions=None):
+                fn = cache.get(positions)
+                if fn is None:
+                    fn = cache[positions] = make_sharded_mv_core(
+                        self._dev_key, self.mesh, positions)
+                return fn(key, vlut, weights, leader, rot_cts)
+
+            return core
         from fhe_regex_tpu.ops.mv import make_mv_core
         return make_mv_core(self._dev_key)
 
     @functools.cached_property
     def _mv_level_jit(self):
-        return jax.jit(self._run_level_mv, donate_argnums=(1,))
+        return jax.jit(self._run_level_mv, donate_argnums=(1,),
+                       static_argnums=(9,))
 
     def _mv_rotate_many(self, key, slab, vlut, rot_slots, rot_coefs,
                         rot_consts):
@@ -412,10 +433,11 @@ class Executor:
         x = self._affine_combine(gathered, rot_coefs, rot_consts)
         return self._mv_rotate_core(key, vlut, x)
 
-    def _mv_finish_many(self, key, slab, accs, weights, leader, out_idx):
+    def _mv_finish_many(self, key, slab, accs, weights, leader, out_idx,
+                        positions):
         """Phase B: derived extracts + keyswitch over the level's packed op
         batch (width-flexible XLA work, no Mosaic kernel)."""
-        outs = self._mv_finish_core(key, accs, weights, leader)
+        outs = self._mv_finish_core(key, accs, weights, leader, positions)
         return slab.at[out_idx].set(outs)
 
     @functools.cached_property
@@ -434,7 +456,8 @@ class Executor:
 
     @functools.cached_property
     def _mv_finish_many_jit(self):
-        return jax.jit(self._mv_finish_many, donate_argnums=(1,))
+        return jax.jit(self._mv_finish_many, donate_argnums=(1,),
+                       static_argnums=(6,))
 
     @functools.cached_property
     def _dev_vlut(self):
@@ -460,6 +483,7 @@ class Executor:
                 dl = [tuple(jnp.asarray(x) for x in
                             (lv.rot_slots, lv.rot_coefs, lv.rot_consts,
                              lv.mv_weights, lv.mv_leader, lv.out_idx))
+                      + (lv.mv_positions,)          # static, stays host-side
                       for lv in circuit.levels]
             else:
                 dl = [tuple(jnp.asarray(x) for x in
@@ -675,7 +699,8 @@ class Executor:
                     t_ld = np.concatenate([t_ld, np.zeros(padb, np.int32)])
                     t_out = np.concatenate([t_out, np.full(padb, S * C - 1,
                                                            np.int32)])
-                fin = tuple(jnp.asarray(x) for x in (t_w, t_ld, t_out))
+                fin = (tuple(jnp.asarray(x) for x in (t_w, t_ld, t_out))
+                       + (lv.mv_positions,))
                 plans.append((rot_chunks, acc_rows, fin))
         cache[key] = plans
         return plans

@@ -339,3 +339,19 @@ def test_multivalue_sharded_mesh(keys):
         res = has_match(sk, ct, pattern, backend="jnp", mesh=mesh,
                         multivalue=True)
         assert decrypt(ck, res) == want, pattern
+
+
+def test_mv_dead_support_columns_dropped():
+    """Level plans keep only the support positions their LUT factors touch
+    (each kept column costs a full negacyclic roll at run time)."""
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import compile_circuit
+
+    builder, root = compile_match(4, "/abc/", fold="tree")
+    circuit = compile_circuit(TEST_PARAMS, builder, root, multivalue=True)
+    S = len(mv_support_positions(TEST_PARAMS))
+    for lv in circuit.levels:
+        assert lv.mv_weights.shape[1] == len(lv.mv_positions) <= S
+        assert lv.mv_weights.any(axis=0).all()   # no dead columns kept
+    # eq/and levels touch only a handful of boundaries
+    assert any(len(lv.mv_positions) < S for lv in circuit.levels)
