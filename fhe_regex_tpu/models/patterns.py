@@ -140,6 +140,61 @@ class CompiledPatternSet:
         }
 
 
+class CompiledPositions:
+    """Per-offset match program: one multi-root circuit per content length
+    whose roots are the start-position bits (has_match_positions' AOT
+    artifact; result rows [len] or [C, len] under match_many)."""
+
+    def __init__(self, pattern: str, params: Optional[Params] = None,
+                 min_bucket: Optional[int] = None, fold: str = "tree",
+                 engine: Optional[str] = None,
+                 branch_budget: Optional[int] = None,
+                 multivalue: bool = False):
+        self.pattern = pattern
+        self.params = params or get_params()
+        self.min_bucket = min_bucket
+        self.fold = fold
+        self.engine = engine
+        self.branch_budget = branch_budget
+        self.multivalue = multivalue
+        parse(pattern)  # early validation (mirrors main.rs:17-20)
+        self._circuits: Dict[int, CompiledCircuit] = {}
+
+    def circuit(self, content_len: int) -> CompiledCircuit:
+        if content_len not in self._circuits:
+            from fhe_regex_tpu import _compile_positions
+            from fhe_regex_tpu.regex.executor import default_min_bucket
+
+            builder, roots = _compile_positions(
+                self.params, content_len, self.pattern, self.fold,
+                self.engine, self.branch_budget)
+            self._circuits[content_len] = compile_circuit(
+                self.params, builder, roots,
+                min_bucket=self.min_bucket or default_min_bucket(),
+                multivalue=self.multivalue)
+        return self._circuits[content_len]
+
+    def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
+        """-> [len, num_blocks, n+1], one encrypted bit per offset."""
+        return executor.run(self.circuit(len(ct_content)),
+                            np.ascontiguousarray(ct_content))
+
+    def match_many(self, executor, ct_contents: np.ndarray) -> np.ndarray:
+        """-> [C, len, num_blocks, n+1]."""
+        return executor.run_many(self.circuit(ct_contents.shape[1]),
+                                 np.ascontiguousarray(ct_contents))
+
+    def stats(self, content_len: int) -> dict:
+        c = self.circuit(content_len)
+        return {
+            "positions": content_len,
+            "ct_ops": c.ct_ops,
+            "cache_hits": c.cache_hits,
+            "bootstraps": c.pbs_count,
+            "levels": len(c.levels),
+        }
+
+
 # The 5 driver benchmark configurations (BASELINE.json "configs")
 DRIVER_CONFIGS = [
     {"name": "exact_literal", "pattern": "/^abc$/", "content_len": 3},

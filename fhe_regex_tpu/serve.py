@@ -67,36 +67,47 @@ class MatchService:
         self._programs: dict = {}
 
     def _program(self, pattern, fold: str, branch_budget,
-                 multivalue: bool = False):
+                 multivalue: bool = False, positions: bool = False):
         """pattern: one str -> CompiledPattern; list of str ->
-        CompiledPatternSet (one shared multi-root circuit)."""
+        CompiledPatternSet (one shared multi-root circuit); positions=True
+        -> CompiledPositions (one encrypted bit per start offset)."""
         from fhe_regex_tpu.models.patterns import (CompiledPattern,
-                                                   CompiledPatternSet)
+                                                   CompiledPatternSet,
+                                                   CompiledPositions)
 
         multi = isinstance(pattern, (list, tuple))
+        if multi and positions:
+            raise ValueError("positions mode takes a single pattern")
         key = (tuple(pattern) if multi else pattern, fold, branch_budget,
-               multivalue)
+               multivalue, positions)
         if key not in self._programs:
-            cls = CompiledPatternSet if multi else CompiledPattern
+            cls = (CompiledPositions if positions
+                   else CompiledPatternSet if multi else CompiledPattern)
             self._programs[key] = cls(
                 pattern, params=self.params, fold=fold,
                 branch_budget=branch_budget, multivalue=multivalue)
         return self._programs[key]
 
     def compile(self, pattern, content_len: int, fold: str = "tree",
-                branch_budget=None, multivalue: bool = False) -> dict:
-        prog = self._program(pattern, fold, branch_budget, multivalue)
+                branch_budget=None, multivalue: bool = False,
+                positions: bool = False) -> dict:
+        prog = self._program(pattern, fold, branch_budget, multivalue,
+                             positions)
         return prog.stats(content_len)
 
     def match(self, pattern, ct: np.ndarray, fold: str = "tree",
-              branch_budget=None, multivalue: bool = False) -> np.ndarray:
-        prog = self._program(pattern, fold, branch_budget, multivalue)
+              branch_budget=None, multivalue: bool = False,
+              positions: bool = False) -> np.ndarray:
+        prog = self._program(pattern, fold, branch_budget, multivalue,
+                             positions)
         with self._lock:
             return prog.match(self.executor, ct)
 
     def match_many(self, pattern, cts: np.ndarray, fold: str = "tree",
-                   branch_budget=None, multivalue: bool = False) -> np.ndarray:
-        prog = self._program(pattern, fold, branch_budget, multivalue)
+                   branch_budget=None, multivalue: bool = False,
+                   positions: bool = False) -> np.ndarray:
+        prog = self._program(pattern, fold, branch_budget, multivalue,
+                             positions)
         circuit = prog.circuit(cts.shape[1])
         with self._lock:
             return self.executor.run_many(circuit, np.ascontiguousarray(cts))
@@ -134,21 +145,23 @@ def make_handler(service: MatchService):
                 fold = req.get("fold", "tree")
                 budget = req.get("branch_budget")
                 mv = bool(req.get("multivalue", False))
+                pos = bool(req.get("positions", False))
                 # "pattern": one str; "patterns": list -> one shared
-                # multi-root circuit, result gains a leading P axis
+                # multi-root circuit, result gains a leading P axis;
+                # "positions": true -> one bit per start offset instead
                 pat = (req["patterns"] if "patterns" in req
                        else req["pattern"])
                 if self.path == "/compile":
                     out = service.compile(pat, int(req["content_len"]),
-                                          fold, budget, mv)
+                                          fold, budget, mv, pos)
                     self._reply(200, out)
                 elif self.path == "/match":
                     ct = decode_array(req["ct"])
-                    res = service.match(pat, ct, fold, budget, mv)
+                    res = service.match(pat, ct, fold, budget, mv, pos)
                     self._reply(200, {"ct": encode_array(res)})
                 elif self.path == "/match_many":
                     cts = decode_array(req["ct"])
-                    res = service.match_many(pat, cts, fold, budget, mv)
+                    res = service.match_many(pat, cts, fold, budget, mv, pos)
                     self._reply(200, {"ct": encode_array(res)})
                 else:
                     self._reply(404, {"error": "unknown path"})

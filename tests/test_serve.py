@@ -115,3 +115,29 @@ def test_compile_patterns_stats(server):
     out = _post(server, "/compile",
                 {"patterns": ["/abc/", "/abd/"], "content_len": 4})
     assert out["patterns"] == 2 and out["bootstraps"] > 0
+
+
+def test_match_positions_over_http(server, keys):
+    """"positions": true -> one encrypted bit per start offset."""
+    ck, _ = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "abcabc")
+    out = _post(server, "/match", {"pattern": "/abc/", "positions": True,
+                                   "ct": encode_array(ct)})
+    res = decode_array(out["ct"])
+    assert [decrypt(ck, res[i]) for i in range(6)] == [1, 0, 0, 1, 0, 0]
+    out = _post(server, "/compile", {"pattern": "/abc/", "positions": True,
+                                     "content_len": 6})
+    assert out["positions"] == 6
+
+
+def test_match_many_positions_over_http(server, keys):
+    ck, _ = keys
+    contents = ["abcx", "xabc"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    out = _post(server, "/match_many",
+                {"pattern": "/abc/", "positions": True,
+                 "ct": encode_array(cts)})
+    res = decode_array(out["ct"])
+    assert res.shape[:2] == (2, 4)
+    assert [[decrypt(ck, res[c, i]) for i in range(4)] for c in range(2)] \
+        == [[1, 0, 0, 0], [0, 1, 0, 0]]
