@@ -86,7 +86,7 @@ def main(argv=None) -> int:
     except BranchBudgetExceeded as e:
         print(f"error: {e}", file=sys.stderr)
         return 3
-    except ValueError as e:   # e.g. --multivalue on a 64-bit parameter set
+    except ValueError as e:   # argument errors (backend/params mismatches)
         print(f"error: {e}", file=sys.stderr)
         return 2
     res = decrypt(client_key, ct_res)

@@ -4,7 +4,10 @@ The framework's "model" artifact is a compiled pattern: since the op DAG
 depends only on (pattern, content length) (SURVEY.md §3.2), a pattern can be
 compiled once and served against any number of encrypted contents of the
 same length — the serving-oriented counterpart of the reference's per-call
-interpreter.  ``CompiledPattern`` caches circuits per content length.
+interpreter.  ``CompiledPattern`` caches circuits per content length;
+``CompiledPatternSet`` (many patterns, one shared multi-root circuit) and
+``CompiledPositions`` (one root per start offset) override only the
+compile step.
 
 ``DRIVER_CONFIGS`` enumerates the five benchmark configurations from
 BASELINE.json.
@@ -17,7 +20,6 @@ from typing import Dict, Optional
 import numpy as np
 
 from fhe_regex_tpu.params import Params, get_params
-from fhe_regex_tpu.regex.engine import compile_match
 from fhe_regex_tpu.regex.executor import CompiledCircuit, compile_circuit
 from fhe_regex_tpu.regex.parser import parse
 
@@ -37,28 +39,34 @@ class CompiledPattern:
         self.engine = engine
         self.branch_budget = branch_budget
         self.multivalue = multivalue
-        parse(pattern)  # early validation (mirrors main.rs:17-20)
+        self._validate()
         self._circuits: Dict[int, CompiledCircuit] = {}
+
+    def _validate(self) -> None:
+        parse(self.pattern)  # early validation (mirrors main.rs:17-20)
+
+    def _compile(self, content_len: int):
+        """-> (builder, root_or_roots); subclasses override this hook."""
+        from fhe_regex_tpu.regex.engine import compile_match
+        from fhe_regex_tpu.regex.native import available
+
+        engine = self.engine
+        if engine is None:
+            engine = "native" if available() else "python"
+        if engine == "native":
+            from fhe_regex_tpu.regex.native import compile_match_native
+            return compile_match_native(
+                content_len, self.pattern, num_blocks=self.params.num_blocks,
+                fold=self.fold, branch_budget=self.branch_budget)
+        return compile_match(
+            content_len, self.pattern, num_blocks=self.params.num_blocks,
+            fold=self.fold, branch_budget=self.branch_budget)
 
     def circuit(self, content_len: int) -> CompiledCircuit:
         if content_len not in self._circuits:
             from fhe_regex_tpu.regex.executor import default_min_bucket
-            from fhe_regex_tpu.regex.native import available
 
-            engine = self.engine
-            if engine is None:
-                engine = "native" if available() else "python"
-            if engine == "native":
-                from fhe_regex_tpu.regex.native import compile_match_native
-                builder, root = compile_match_native(
-                    content_len, self.pattern,
-                    num_blocks=self.params.num_blocks, fold=self.fold,
-                    branch_budget=self.branch_budget)
-            else:
-                builder, root = compile_match(
-                    content_len, self.pattern,
-                    num_blocks=self.params.num_blocks, fold=self.fold,
-                    branch_budget=self.branch_budget)
+            builder, root = self._compile(content_len)
             self._circuits[content_len] = compile_circuit(
                 self.params, builder, root,
                 min_bucket=self.min_bucket or default_min_bucket(),
@@ -66,9 +74,14 @@ class CompiledPattern:
         return self._circuits[content_len]
 
     def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
-        """Run against encrypted content with a prepared Executor."""
+        """Run against one encrypted content with a prepared Executor."""
         return executor.run(self.circuit(len(ct_content)),
                             np.ascontiguousarray(ct_content))
+
+    def match_many(self, executor, ct_contents: np.ndarray) -> np.ndarray:
+        """Run against a batch of equal-length encrypted contents."""
+        return executor.run_many(self.circuit(ct_contents.shape[1]),
+                                 np.ascontiguousarray(ct_contents))
 
     def stats(self, content_len: int) -> dict:
         c = self.circuit(content_len)
@@ -80,119 +93,47 @@ class CompiledPattern:
         }
 
 
-class CompiledPatternSet:
+class CompiledPatternSet(CompiledPattern):
     """Many patterns AOT-compiled onto ONE shared circuit, cached per
     content length (the multi-root counterpart of CompiledPattern).
 
     Cross-pattern hash-consing means shared subexpressions bootstrap once;
-    `match` returns one radix ciphertext per pattern, in order."""
+    `match` returns one radix ciphertext per pattern (`[P, ...]`), in
+    order; `match_many` returns `[C, P, ...]`."""
 
-    def __init__(self, patterns, params: Optional[Params] = None,
-                 min_bucket: Optional[int] = None, fold: str = "tree",
-                 engine: Optional[str] = None,
-                 branch_budget: Optional[int] = None,
-                 multivalue: bool = False):
+    def __init__(self, patterns, **kwargs):
         self.patterns = list(patterns)
         if not self.patterns:
             raise ValueError("need at least one pattern")
-        self.params = params or get_params()
-        self.min_bucket = min_bucket
-        self.fold = fold
-        self.engine = engine
-        self.branch_budget = branch_budget
-        self.multivalue = multivalue
+        super().__init__(self.patterns, **kwargs)
+
+    def _validate(self) -> None:
         for p in self.patterns:
-            parse(p)  # early validation (mirrors main.rs:17-20)
-        self._circuits: Dict[int, CompiledCircuit] = {}
+            parse(p)
 
-    def circuit(self, content_len: int) -> CompiledCircuit:
-        if content_len not in self._circuits:
-            from fhe_regex_tpu import _compile_multi
-            from fhe_regex_tpu.regex.executor import default_min_bucket
-
-            builder, roots = _compile_multi(
-                self.params, content_len, self.patterns, self.fold,
-                self.engine, self.branch_budget)
-            self._circuits[content_len] = compile_circuit(
-                self.params, builder, roots,
-                min_bucket=self.min_bucket or default_min_bucket(),
-                multivalue=self.multivalue)
-        return self._circuits[content_len]
-
-    def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
-        """-> [P, num_blocks, n+1], one encrypted bit per pattern."""
-        return executor.run(self.circuit(len(ct_content)),
-                            np.ascontiguousarray(ct_content))
-
-    def match_many(self, executor, ct_contents: np.ndarray) -> np.ndarray:
-        """-> [C, P, num_blocks, n+1]."""
-        return executor.run_many(self.circuit(ct_contents.shape[1]),
-                                 np.ascontiguousarray(ct_contents))
+    def _compile(self, content_len: int):
+        from fhe_regex_tpu import _compile_multi
+        return _compile_multi(self.params, content_len, self.patterns,
+                              self.fold, self.engine, self.branch_budget)
 
     def stats(self, content_len: int) -> dict:
-        c = self.circuit(content_len)
-        return {
-            "patterns": len(self.patterns),
-            "ct_ops": c.ct_ops,
-            "cache_hits": c.cache_hits,
-            "bootstraps": c.pbs_count,
-            "levels": len(c.levels),
-        }
+        return {"patterns": len(self.patterns),
+                **super().stats(content_len)}
 
 
-class CompiledPositions:
+class CompiledPositions(CompiledPattern):
     """Per-offset match program: one multi-root circuit per content length
     whose roots are the start-position bits (has_match_positions' AOT
-    artifact; result rows [len] or [C, len] under match_many)."""
+    artifact; result rows `[len, ...]` or `[C, len, ...]` under
+    match_many)."""
 
-    def __init__(self, pattern: str, params: Optional[Params] = None,
-                 min_bucket: Optional[int] = None, fold: str = "tree",
-                 engine: Optional[str] = None,
-                 branch_budget: Optional[int] = None,
-                 multivalue: bool = False):
-        self.pattern = pattern
-        self.params = params or get_params()
-        self.min_bucket = min_bucket
-        self.fold = fold
-        self.engine = engine
-        self.branch_budget = branch_budget
-        self.multivalue = multivalue
-        parse(pattern)  # early validation (mirrors main.rs:17-20)
-        self._circuits: Dict[int, CompiledCircuit] = {}
-
-    def circuit(self, content_len: int) -> CompiledCircuit:
-        if content_len not in self._circuits:
-            from fhe_regex_tpu import _compile_positions
-            from fhe_regex_tpu.regex.executor import default_min_bucket
-
-            builder, roots = _compile_positions(
-                self.params, content_len, self.pattern, self.fold,
-                self.engine, self.branch_budget)
-            self._circuits[content_len] = compile_circuit(
-                self.params, builder, roots,
-                min_bucket=self.min_bucket or default_min_bucket(),
-                multivalue=self.multivalue)
-        return self._circuits[content_len]
-
-    def match(self, executor, ct_content: np.ndarray) -> np.ndarray:
-        """-> [len, num_blocks, n+1], one encrypted bit per offset."""
-        return executor.run(self.circuit(len(ct_content)),
-                            np.ascontiguousarray(ct_content))
-
-    def match_many(self, executor, ct_contents: np.ndarray) -> np.ndarray:
-        """-> [C, len, num_blocks, n+1]."""
-        return executor.run_many(self.circuit(ct_contents.shape[1]),
-                                 np.ascontiguousarray(ct_contents))
+    def _compile(self, content_len: int):
+        from fhe_regex_tpu import _compile_positions
+        return _compile_positions(self.params, content_len, self.pattern,
+                                  self.fold, self.engine, self.branch_budget)
 
     def stats(self, content_len: int) -> dict:
-        c = self.circuit(content_len)
-        return {
-            "positions": content_len,
-            "ct_ops": c.ct_ops,
-            "cache_hits": c.cache_hits,
-            "bootstraps": c.pbs_count,
-            "levels": len(c.levels),
-        }
+        return {"positions": content_len, **super().stats(content_len)}
 
 
 # The 5 driver benchmark configurations (BASELINE.json "configs")

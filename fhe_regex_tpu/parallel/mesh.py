@@ -98,6 +98,52 @@ def make_sharded_mv_core(dev_key: DeviceServerKey, mesh: Mesh,
     return sharded
 
 
+def make_sharded_mv_rotate_core(dev_key: DeviceServerKey, mesh: Mesh):
+    """Sharded phase A of a packed multivalue level (Executor.run_many):
+    (key, vlut, rot_cts) -> accumulators, rotation batch sharded."""
+    from fhe_regex_tpu.ops.mv import make_mv_rotate_core
+    from fhe_regex_tpu.ops.pbs import key_arrays
+
+    rotate = make_mv_rotate_core(dev_key)
+    n_key = len(key_arrays(dev_key))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((P(),) * n_key, P(), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    def sharded(key, vlut, rot_cts):
+        return rotate(key, vlut, rot_cts)
+
+    return sharded
+
+
+def make_sharded_mv_finish_core(dev_key: DeviceServerKey, mesh: Mesh,
+                                positions=None):
+    """Sharded phase B: (key, accs, weights, leader) -> outputs; the op
+    batch is sharded, the accumulators replicated (leaders may reference
+    any rotation row)."""
+    from fhe_regex_tpu.ops.mv import make_mv_finish_core
+    from fhe_regex_tpu.ops.pbs import key_arrays
+
+    finish = make_mv_finish_core(dev_key)
+    n_key = len(key_arrays(dev_key))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=((P(),) * n_key, P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    def sharded(key, accs, weights, leader):
+        return finish(key, accs, weights, leader, positions)
+
+    return sharded
+
+
 def make_sharded_pbs_core(dev_key: DeviceServerKey, mesh: Mesh):
     """Sharded PBS with the server key as explicit REPLICATED arguments.
 

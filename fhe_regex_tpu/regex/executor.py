@@ -442,11 +442,28 @@ class Executor:
 
     @functools.cached_property
     def _mv_rotate_core(self):
+        if self.mesh is not None:
+            from fhe_regex_tpu.parallel.mesh import make_sharded_mv_rotate_core
+            return make_sharded_mv_rotate_core(self._dev_key, self.mesh)
         from fhe_regex_tpu.ops.mv import make_mv_rotate_core
         return make_mv_rotate_core(self._dev_key)
 
     @functools.cached_property
     def _mv_finish_core(self):
+        """(key, accs, weights, leader, positions) -> outputs (positions
+        static; the sharded form is built per position set)."""
+        if self.mesh is not None:
+            from fhe_regex_tpu.parallel.mesh import make_sharded_mv_finish_core
+            cache = {}
+
+            def core(key, accs, weights, leader, positions=None):
+                fn = cache.get(positions)
+                if fn is None:
+                    fn = cache[positions] = make_sharded_mv_finish_core(
+                        self._dev_key, self.mesh, positions)
+                return fn(key, accs, weights, leader)
+
+            return core
         from fhe_regex_tpu.ops.mv import make_mv_finish_core
         return make_mv_finish_core(self._dev_key)
 
@@ -624,9 +641,15 @@ class Executor:
         return -(-n // 1024) * 1024
 
     # accumulator-buffer bound for packed multivalue levels: 4096 rows of
-    # (k+1)*N int32 = 64 MB.  Compiled level plans hold <= MAX_LEVEL_BATCH
-    # rotations, so every content group spans >= 16 contents.
+    # (k+1)*N int32 = 64 MB (halved at 64 bits, where rows are limb PAIRS,
+    # to keep the same byte bound).  Compiled level plans hold <=
+    # MAX_LEVEL_BATCH rotations, so every content group spans >= 8 contents.
     MAX_MV_ACC_ROWS = 4096
+
+    @property
+    def _mv_acc_rows_cap(self) -> int:
+        return (self.MAX_MV_ACC_ROWS if self.params.torus_bits == 32
+                else self.MAX_MV_ACC_ROWS // 2)
 
     def _device_chunks_many_mv(self, circuit: "CompiledCircuit", C: int,
                                wide_batch: bool):
@@ -651,7 +674,7 @@ class Executor:
         for lv in circuit.levels:
             act = lv.lut_idx >= 0
             R = lv.mv_rot_count
-            group = max(1, min(C, self.MAX_MV_ACC_ROWS // max(1, R)))
+            group = max(1, min(C, self._mv_acc_rows_cap // max(1, R)))
             a_w = lv.mv_weights[act]
             a_ld = lv.mv_leader[act]
             a_out = lv.out_idx[act]

@@ -65,6 +65,10 @@ class MatchService:
         self.executor = _executor_for(server_key, backend)
         self._lock = threading.Lock()      # one device, serialized matches
         self._programs: dict = {}
+        # program construction/compilation is check-then-set on shared
+        # dicts — serialize it separately from the device lock so two
+        # concurrent requests for a new pattern can't both compile it
+        self._compile_lock = threading.Lock()
 
     def _program(self, pattern, fold: str, branch_budget,
                  multivalue: bool = False, positions: bool = False):
@@ -80,20 +84,22 @@ class MatchService:
             raise ValueError("positions mode takes a single pattern")
         key = (tuple(pattern) if multi else pattern, fold, branch_budget,
                multivalue, positions)
-        if key not in self._programs:
-            cls = (CompiledPositions if positions
-                   else CompiledPatternSet if multi else CompiledPattern)
-            self._programs[key] = cls(
-                pattern, params=self.params, fold=fold,
-                branch_budget=branch_budget, multivalue=multivalue)
-        return self._programs[key]
+        with self._compile_lock:
+            if key not in self._programs:
+                cls = (CompiledPositions if positions
+                       else CompiledPatternSet if multi else CompiledPattern)
+                self._programs[key] = cls(
+                    pattern, params=self.params, fold=fold,
+                    branch_budget=branch_budget, multivalue=multivalue)
+            return self._programs[key]
 
     def compile(self, pattern, content_len: int, fold: str = "tree",
                 branch_budget=None, multivalue: bool = False,
                 positions: bool = False) -> dict:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
-        return prog.stats(content_len)
+        with self._compile_lock:      # per-length circuit cache is shared
+            return prog.stats(content_len)
 
     def match(self, pattern, ct: np.ndarray, fold: str = "tree",
               branch_budget=None, multivalue: bool = False,
@@ -108,7 +114,8 @@ class MatchService:
                    positions: bool = False) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
-        circuit = prog.circuit(cts.shape[1])
+        with self._compile_lock:      # per-length circuit cache is shared
+            circuit = prog.circuit(cts.shape[1])
         with self._lock:
             return self.executor.run_many(circuit, np.ascontiguousarray(cts))
 

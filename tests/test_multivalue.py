@@ -55,11 +55,13 @@ def test_support_is_static_and_sparse():
 
 def test_noise_margin_multivalue():
     """Worst-case LUT margin with the max production ||u||_2^2 stays >= 5
-    sigma (modswitch + keyswitch dominate; blind rotation is the only
-    amplified term)."""
-    p = TPU_MESSAGE_2_CARRY_2
-    u2 = max(mv_norm2(p, k) for k in PRODUCTION_KEYS)
-    assert p.noise_budget_report(mv_norm2=u2)["sigma_margin"] >= 5.0
+    sigma at BOTH production torus widths (modswitch + keyswitch dominate;
+    blind rotation is the only amplified term)."""
+    from fhe_regex_tpu.params import TPU64_MESSAGE_2_CARRY_2
+
+    for p in (TPU_MESSAGE_2_CARRY_2, TPU64_MESSAGE_2_CARRY_2):
+        u2 = max(mv_norm2(p, k) for k in PRODUCTION_KEYS)
+        assert p.noise_budget_report(mv_norm2=u2)["sigma_margin"] >= 5.0, p.name
 
 
 def test_golden_mv_pbs_matches_classic(keys):
@@ -355,3 +357,27 @@ def test_mv_dead_support_columns_dropped():
         assert lv.mv_weights.any(axis=0).all()   # no dead columns kept
     # eq/and levels touch only a handful of boundaries
     assert any(len(lv.mv_positions) < S for lv in circuit.levels)
+
+
+def test_multivalue_run_many_sharded(keys):
+    """Packed mv serving under a mesh: rotation chunks and op batches
+    sharded, accumulators replicated into phase B."""
+    import jax
+
+    from fhe_regex_tpu import decrypt, trivial_encrypt_str
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.parallel.mesh import make_mesh
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    mesh = make_mesh(len(jax.devices()))
+    ex = Executor(TEST_PARAMS, prepare_server_key(TEST_PARAMS, sk, "jnp"),
+                  mesh=mesh)
+    builder, root = compile_match(2, "/^[a-d][^xyz]$/i", fold="tree")
+    circuit = compile_circuit(TEST_PARAMS, builder, root,
+                              min_bucket=mesh.devices.size, multivalue=True)
+    contents = ["bq", "xq", "dd", "cz"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    res = ex.run_many(circuit, cts, wide_batch=False)
+    assert [decrypt(ck, res[i]) for i in range(4)] == [1, 0, 1, 0]
