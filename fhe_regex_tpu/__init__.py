@@ -44,6 +44,7 @@ __all__ = [
     "has_match_many_patterns",
     "has_match_positions",
     "has_match_many_positions",
+    "has_match_long",
     "decrypt",
     "compile_match",
     "BranchBudgetExceeded",
@@ -420,6 +421,144 @@ def has_match_many_positions(server_key: ServerKey, ct_contents,
         len(circuit.levels),
     )
     return result
+
+
+def _or_reduce_bits(server_key: ServerKey, backend: Optional[str],
+                    bits: np.ndarray) -> np.ndarray:
+    """Homomorphic OR of M encrypted result bits -> one radix ciphertext.
+
+    bits [M, num_blocks, n+1]: block-0 rows carry the 0/1 (the executor's
+    root convention).  Log3-depth rounds of batched OR2/OR3 bootstraps on
+    the executor's fixed launch shapes.
+    """
+    import jax.numpy as jnp
+
+    from fhe_regex_tpu.crypto.golden import make_lut_poly
+    from fhe_regex_tpu.ops.luts import LUT_OR2, LUT_OR3, lut_fn
+    from fhe_regex_tpu.regex.executor import (_limbs_to_np, _np_to_limbs,
+                                              default_min_bucket)
+
+    params = server_key.params
+    ex = _executor_for(server_key, backend)
+    tb = params.torus_bits
+    luts = np.stack([make_lut_poly(params, lut_fn(LUT_OR2)),
+                     make_lut_poly(params, lut_fn(LUT_OR3))])
+    luts_dev = jnp.asarray(_np_to_limbs(luts, tb))
+    pad = default_min_bucket()
+    rows = np.ascontiguousarray(bits[:, 0, :])          # [M, n+1]
+    while rows.shape[0] > 1:
+        g = [rows[i:i + 3] for i in range(0, rows.shape[0], 3)]
+        carry = [grp for grp in g if grp.shape[0] == 1]
+        work = [grp for grp in g if grp.shape[0] > 1]
+        if not work:
+            rows = np.concatenate(carry)
+            continue
+        x = _np_to_limbs(np.stack([grp[0] for grp in work]), tb)
+        idx = []
+        for j, grp in enumerate(work):
+            if tb == 32:
+                with np.errstate(over="ignore"):
+                    v = grp[0].astype(np.uint32) + 2 * grp[1].astype(np.uint32)
+                    if grp.shape[0] == 3:
+                        v = v + 4 * grp[2].astype(np.uint32)
+                x[j] = v.view(np.int32)
+            else:
+                with np.errstate(over="ignore"):
+                    v = grp[0].astype(np.uint64) + 2 * grp[1].astype(np.uint64)
+                    if grp.shape[0] == 3:
+                        v = v + 4 * grp[2].astype(np.uint64)
+                x[j] = _np_to_limbs(v, tb)
+            idx.append(0 if grp.shape[0] == 2 else 1)
+        B = len(work)
+        Bp = pad
+        while Bp < B:
+            Bp *= 2
+        xp = np.zeros((Bp,) + x.shape[1:], np.int32)
+        xp[:B] = x
+        out = np.asarray(ex._core(ex._key_args, luts_dev,
+                                  jnp.asarray(np.asarray(idx + [0] * (Bp - B),
+                                                         np.int32)),
+                                  jnp.asarray(xp)))[:B]
+        rows = np.concatenate([_limbs_to_np(out, tb)] + carry)
+    n1 = params.lwe_dimension + 1
+    res = np.zeros((params.num_blocks, n1), rows.dtype)
+    res[0] = rows[0]
+    return res
+
+
+def has_match_long(server_key: ServerKey, ct_content: np.ndarray,
+                   pattern: str, window: Optional[int] = None,
+                   backend: Optional[str] = None, fold: str = "tree",
+                   engine: Optional[str] = None,
+                   branch_budget: Optional[int] = None,
+                   wide_batch: Optional[bool] = None,
+                   multivalue: Optional[bool] = None) -> np.ndarray:
+    """Match over LONG encrypted content via overlapping windows.
+
+    The direct circuit's size (and compile time, and executable shapes)
+    grows with the content length.  When the pattern's maximum match span
+    is bounded (engine.max_match_span), any match fits inside a fixed-size
+    window, so the content is scanned as overlapping windows (stride =
+    window - span) batched through ``run_many`` — one compiled circuit
+    regardless of content length — and the window bits are OR-reduced
+    homomorphically.  Decrypts identically to ``has_match`` on the full
+    content (window boundaries replicate the engine's bounds-pruning
+    semantics: interior windows give every start `span` headroom, and the
+    final window is flush with the content end).
+
+    Anchored patterns reduce to single flush windows (`^`: the first
+    span+1 chars; `$`: the last span chars; both: impossible beyond the
+    span — trivial FALSE, exactly the reference's all-branches-pruned
+    result).  Unbounded-span patterns (an unquantified-max repetition,
+    capped by content length per Q7) fall back to the direct circuit.
+    """
+    from fhe_regex_tpu.regex import parser as _P
+    from fhe_regex_tpu.regex.engine import has_anchor, max_match_span
+    from fhe_regex_tpu.regex.parser import parse as _parse
+
+    params = server_key.params
+    content = np.ascontiguousarray(ct_content)
+    L = content.shape[0]
+    re = _parse(pattern)
+    span = max_match_span(re)
+
+    def direct(ct):
+        return has_match(server_key, ct, pattern, backend=backend, fold=fold,
+                         engine=engine, branch_budget=branch_budget,
+                         multivalue=multivalue)
+
+    if span is None or L == 0:
+        return direct(content)
+    sof = has_anchor(re, _P.SOF)
+    eof = has_anchor(re, _P.EOF)
+    if sof and eof:
+        if L <= span:
+            return direct(content)
+        # the anchored pattern must span all L chars but can consume at
+        # most `span` — every branch is pruned, exactly as in the direct
+        # circuit: trivial FALSE
+        n1 = params.lwe_dimension + 1
+        dt = np.uint32 if params.torus_bits == 32 else np.uint64
+        return np.zeros((params.num_blocks, n1), dt)
+    if sof:
+        return direct(content[:min(L, span + 1)])
+    if eof:
+        return direct(content[L - min(L, max(span, 1)):])
+
+    W = window if window is not None else max(span + 1, min(64, L))
+    W = min(max(W, span + 1), L)
+    if W >= L:
+        return direct(content)
+    S = W - span
+    starts = sorted({*range(0, L - W, S), L - W})
+    wins = np.stack([content[a:a + W] for a in starts])
+    bits = has_match_many(server_key, wins, pattern, backend=backend,
+                          fold=fold, engine=engine,
+                          branch_budget=branch_budget,
+                          wide_batch=wide_batch, multivalue=multivalue)
+    logger.info("long content: %d chars -> %d windows of %d (span %d)",
+                L, len(starts), W, span)
+    return _or_reduce_bits(server_key, backend, bits)
 
 
 def decrypt(client_key: ClientKey, ct_res: np.ndarray) -> int:

@@ -234,6 +234,60 @@ def compile_match(content_len: int, pattern: str, num_blocks: int = 4,
     return builder, root
 
 
+def max_match_span(re: P.RegExpr) -> Optional[int]:
+    """Maximum content characters any variant of `re` can consume, or None
+    if unbounded (an unquantified-max repetition — those are capped by the
+    remaining content, Q7, so their span grows with content length).
+
+    Drives windowed long-content matching (has_match_long): any match fits
+    inside a window of this many characters.
+    """
+    if isinstance(re, (P.SOF, P.EOF)):
+        return 0
+    if isinstance(re, (P.Char, P.AnyChar, P.Between, P.Range)):
+        return 1
+    if isinstance(re, P.Not):
+        return max_match_span(re.not_re)
+    if isinstance(re, P.Either):
+        l = max_match_span(re.l_re)
+        r = max_match_span(re.r_re)
+        return None if l is None or r is None else max(l, r)
+    if isinstance(re, P.Optional_):
+        return max_match_span(re.opt_re)
+    if isinstance(re, P.Repeated):
+        if re.at_most is None:
+            return None
+        sub = max_match_span(re.repeat_re)
+        return None if sub is None else re.at_most * sub
+    if isinstance(re, P.Seq):
+        total = 0
+        for x in re.re_xs:
+            s = max_match_span(x)
+            if s is None:
+                return None
+            total += s
+        return total
+    raise ValueError(f"unmatched regex variant: {re!r}")
+
+
+def has_anchor(re: P.RegExpr, kind) -> bool:
+    """Does the AST contain a SOF/EOF node?  (Anchors scope over the whole
+    alternation, Q2, so presence anywhere means the pattern is anchored.)"""
+    if isinstance(re, kind):
+        return True
+    if isinstance(re, P.Not):
+        return has_anchor(re.not_re, kind)
+    if isinstance(re, P.Either):
+        return has_anchor(re.l_re, kind) or has_anchor(re.r_re, kind)
+    if isinstance(re, P.Optional_):
+        return has_anchor(re.opt_re, kind)
+    if isinstance(re, P.Repeated):
+        return has_anchor(re.repeat_re, kind)
+    if isinstance(re, P.Seq):
+        return any(has_anchor(x, kind) for x in re.re_xs)
+    return False
+
+
 def compile_match_positions(content_len: int, pattern: str,
                             num_blocks: int = 4, fold: str = "tree",
                             branch_budget: Optional[int] = None

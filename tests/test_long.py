@@ -1,0 +1,113 @@
+"""Windowed long-content matching (has_match_long).
+
+Must decrypt identically to has_match on the full content: interior
+windows give every start `span` headroom (so the engine's bounds pruning
+behaves as in the full content) and the final window is flush with the
+content end.  Oracle: the plaintext dialect evaluator + direct has_match.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from fhe_regex_tpu import decrypt, has_match, has_match_long, trivial_encrypt_str
+from fhe_regex_tpu.params import TEST_PARAMS
+from fhe_regex_tpu.regex import parser as P
+from fhe_regex_tpu.regex.engine import has_anchor, max_match_span
+from fhe_regex_tpu.regex.parser import parse
+
+from test_oracle_fuzz import OracleBudgetExceeded, oracle_match
+
+
+SPANS = [
+    ("/abc/", 3), ("/a?bc/", 3), ("/ab|cdef/", 4), ("/a{2,5}/", 5),
+    ("/[a-d]x/", 2), ("/^abc$/", 3), ("/a*/", None), ("/ab{2,}/", None),
+    ("/(ab|c){3}x?/", 7), ("/[^ab]/", 1),
+]
+
+
+@pytest.mark.parametrize("pattern,span", SPANS,
+                         ids=[p for p, _ in SPANS])
+def test_max_match_span(pattern, span):
+    assert max_match_span(parse(pattern)) == span
+
+
+def test_has_anchor():
+    assert has_anchor(parse("/^ab/"), P.SOF)
+    assert not has_anchor(parse("/ab/"), P.SOF)
+    assert has_anchor(parse("/ab$/"), P.EOF)
+    assert has_anchor(parse("/^ab|cd$/"), P.SOF)   # Q2: outer-scoped
+
+
+LONG_CASES = [
+    # (content, pattern) — windows must agree with the direct circuit
+    ("xxxxxabcxxxxxxabxxxx", "/abc/"),
+    ("xxxxxxxxxxxxxxxxxabc", "/abc/"),      # match flush with the end
+    ("abcxxxxxxxxxxxxxxxxx", "/abc/"),
+    ("xxxxxxxxxxxxxxxxxxxx", "/abc/"),
+    ("xxxxxxxxxabxxxxxxxxx", "/ab?c?/"),
+    ("xxxxxxxcdexxxxxxxxxx", "/ab|cde/"),
+    ("xxxxxxxxxxxxxxxxaaax", "/a{2,3}x/"),
+    ("zaxxxxxxxxxxxxxxxxxx", "/[^ab]a/"),
+    ("^abxxxxxxxxxxxxxxxxx", "/\\^ab/"),
+    ("abcdefgh", "/^abc/"),                  # SOF: single left window
+    ("abcdefgh", "/fgh$/"),                  # EOF: single right window
+    ("abcdefgh", "/^abcdefgh$/"),            # both, L == span
+    ("abcdefghi", "/^abcd$/"),               # both, L > span -> trivial 0
+]
+
+
+@pytest.mark.parametrize("window", [None, 5, 9])
+@pytest.mark.parametrize("content,pattern", LONG_CASES,
+                         ids=[f"{c[:6]}~{p}" for c, p in LONG_CASES])
+def test_long_matches_direct(content, pattern, window, keys):
+    ck, sk = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, content)
+    want = decrypt(ck, has_match(sk, ct, pattern, backend="jnp"))
+    got = decrypt(ck, has_match_long(sk, ct, pattern, window=window,
+                                     backend="jnp"))
+    assert got == want, (content, pattern, window)
+
+
+def test_long_unbounded_span_falls_back(keys):
+    ck, sk = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "xxxaabcxx")
+    got = decrypt(ck, has_match_long(sk, ct, "/a*bc/", backend="jnp"))
+    assert got == 1
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_long_fuzz_vs_oracle(seed, keys):
+    """Random bounded-span patterns over longer random contents."""
+    from test_native_fuzz import _pattern
+
+    ck, sk = keys
+    rng = random.Random(4000 + seed)
+    pattern = _pattern(rng)
+    content = "".join(rng.choice("abcdexz") for _ in range(rng.randint(8, 14)))
+    try:
+        re = parse(pattern)
+        want = oracle_match(content, pattern)
+    except (ValueError, OracleBudgetExceeded, RecursionError):
+        pytest.skip(f"{pattern!r} not executable")
+    ct = trivial_encrypt_str(TEST_PARAMS, content)
+    try:
+        got = decrypt(ck, has_match_long(sk, ct, pattern, window=6,
+                                         backend="jnp",
+                                         branch_budget=200_000))
+    except Exception as e:
+        pytest.skip(f"{pattern!r}: {type(e).__name__}")
+    assert got == want, (pattern, content)
+
+
+def test_long_noisy(noisy_keys):
+    from fhe_regex_tpu import encrypt_str
+    from fhe_regex_tpu.params import TEST_PARAMS_NOISY
+
+    ck, sk = noisy_keys
+    ct = encrypt_str(ck, "xxxxxxxxxxxxabcxxxxx")
+    assert decrypt(ck, has_match_long(sk, ct, "/abc/", window=6,
+                                      backend="jnp")) == 1
+    assert decrypt(ck, has_match_long(sk, ct, "/abd/", window=6,
+                                      backend="jnp")) == 0
