@@ -45,6 +45,7 @@ __all__ = [
     "has_match_positions",
     "has_match_many_positions",
     "has_match_long",
+    "has_match_many_long",
     "decrypt",
     "compile_match",
     "BranchBudgetExceeded",
@@ -559,6 +560,58 @@ def has_match_long(server_key: ServerKey, ct_content: np.ndarray,
     logger.info("long content: %d chars -> %d windows of %d (span %d)",
                 L, len(starts), W, span)
     return _or_reduce_bits(server_key, backend, bits)
+
+
+def has_match_many_long(server_key: ServerKey, ct_contents,
+                        pattern: str, window: Optional[int] = None,
+                        backend: Optional[str] = None, fold: str = "tree",
+                        engine: Optional[str] = None,
+                        branch_budget: Optional[int] = None,
+                        wide_batch: Optional[bool] = None,
+                        multivalue: Optional[bool] = None) -> np.ndarray:
+    """Windowed matching over MANY equal-length long encrypted contents.
+
+    The batched form of ``has_match_long``: the windows of every document
+    pack into ONE ``run_many`` batch (levels amortize across all windows of
+    all documents), then each document's window bits OR-reduce.  Returns
+    ``[C, num_blocks, n+1]``.  Anchored / unbounded-span patterns fall back
+    per-document to the single-content path.
+    """
+    from fhe_regex_tpu.regex import parser as _P
+    from fhe_regex_tpu.regex.engine import has_anchor, max_match_span
+    from fhe_regex_tpu.regex.parser import parse as _parse
+
+    contents = np.ascontiguousarray(ct_contents)
+    if contents.ndim != 4:
+        raise ValueError("expected [C, len, num_blocks, n+1] contents")
+    C, L = contents.shape[0], contents.shape[1]
+    re = _parse(pattern)
+    span = max_match_span(re)
+    unanchored = (span is not None and L > 0
+                  and not has_anchor(re, _P.SOF) and not has_anchor(re, _P.EOF))
+    W = (window if window is not None
+         else max((span or 0) + 1, min(64, L)))
+    if not unanchored or min(max(W, span + 1), L) >= L:
+        return np.stack([
+            has_match_long(server_key, contents[c], pattern, window=window,
+                           backend=backend, fold=fold, engine=engine,
+                           branch_budget=branch_budget,
+                           multivalue=multivalue)
+            for c in range(C)])
+    W = min(max(W, span + 1), L)
+    S = W - span
+    starts = sorted({*range(0, L - W, S), L - W})
+    M = len(starts)
+    wins = np.stack([contents[c, a:a + W] for c in range(C) for a in starts])
+    bits = has_match_many(server_key, wins, pattern, backend=backend,
+                          fold=fold, engine=engine,
+                          branch_budget=branch_budget,
+                          wide_batch=wide_batch, multivalue=multivalue)
+    logger.info("%d long contents: %d chars -> %d windows of %d each",
+                C, L, M, W)
+    return np.stack([
+        _or_reduce_bits(server_key, backend, bits[c * M:(c + 1) * M])
+        for c in range(C)])
 
 
 def decrypt(client_key: ClientKey, ct_res: np.ndarray) -> int:

@@ -111,3 +111,30 @@ def test_long_noisy(noisy_keys):
                                       backend="jnp")) == 1
     assert decrypt(ck, has_match_long(sk, ct, "/abd/", window=6,
                                       backend="jnp")) == 0
+
+
+def test_many_long_matches_direct(keys):
+    """Batched windowed matching agrees with per-document has_match."""
+    from fhe_regex_tpu import has_match_many_long
+
+    ck, sk = keys
+    contents = ["xxxxxabcxxxxxxxxxxxx", "xxxxxxxxxxxxxxxxxabc",
+                "xxxxxxxxxxxxxxxxxxxx", "abcxxxxxxxxxxxabcxxx"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    res = has_match_many_long(sk, cts, "/abc/", window=6, backend="jnp")
+    assert res.shape[0] == 4
+    for c, content in enumerate(contents):
+        want = decrypt(ck, has_match(
+            sk, trivial_encrypt_str(TEST_PARAMS, content), "/abc/",
+            backend="jnp"))
+        assert decrypt(ck, res[c]) == want, content
+
+
+def test_many_long_anchored_fallback(keys):
+    from fhe_regex_tpu import has_match_many_long
+
+    ck, sk = keys
+    contents = ["abcxxxxx", "xabcxxxx"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    res = has_match_many_long(sk, cts, "/^abc/", backend="jnp")
+    assert [decrypt(ck, r) for r in res] == [1, 0]
