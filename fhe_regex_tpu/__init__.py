@@ -546,7 +546,10 @@ def has_match_long(server_key: ServerKey, ct_content: np.ndarray,
     if eof:
         return direct(content[L - min(L, max(span, 1)):])
 
-    W = window if window is not None else max(span + 1, min(64, L))
+    # default window: at least 2*span so the stride stays >= span (a
+    # window of span+1 would slide one char at a time)
+    W = window if window is not None else max(2 * span, span + 1,
+                                              min(64, L))
     W = min(max(W, span + 1), L)
     if W >= L:
         return direct(content)
@@ -590,7 +593,7 @@ def has_match_many_long(server_key: ServerKey, ct_contents,
     unanchored = (span is not None and L > 0
                   and not has_anchor(re, _P.SOF) and not has_anchor(re, _P.EOF))
     W = (window if window is not None
-         else max((span or 0) + 1, min(64, L)))
+         else max(2 * (span or 0), (span or 0) + 1, min(64, L)))
     if not unanchored or min(max(W, span + 1), L) >= L:
         return np.stack([
             has_match_long(server_key, contents[c], pattern, window=window,
