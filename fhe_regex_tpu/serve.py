@@ -19,6 +19,8 @@ buffer + shape/dtype):
                           -> {"ct": {...}} encrypted 0/1 radix result
   POST /match_many        same with ct shape [C, len, blocks, n+1]
                           -> {"ct": {...}} with leading C axis
+  POST /match_long        {"pattern", "ct", "window"?} — long contents via
+                          overlapping windows (has_match_long)
 
 Every POST endpoint also accepts "patterns": [...] instead of "pattern" —
 the set compiles to ONE shared multi-root circuit (cross-pattern
@@ -119,6 +121,23 @@ class MatchService:
         with self._lock:
             return self.executor.run_many(circuit, np.ascontiguousarray(cts))
 
+    def match_long(self, pattern: str, ct: np.ndarray, window=None,
+                   fold: str = "tree", branch_budget=None,
+                   multivalue: bool = False) -> np.ndarray:
+        """Windowed long-content match (has_match_long) with the window
+        circuit cached like any other program (one shape per window size)."""
+        from fhe_regex_tpu import has_match_long
+
+        # program caching happens inside has_match_many via the executor's
+        # per-circuit device caches; the compiled window circuit itself is
+        # rebuilt per call (cheap, native engine) — serialize device use
+        with self._lock:
+            return has_match_long(self.server_key, ct, pattern,
+                                  window=window, fold=fold,
+                                  branch_budget=branch_budget,
+                                  backend=self.backend,
+                                  multivalue=multivalue)
+
 
 def make_handler(service: MatchService):
     class Handler(BaseHTTPRequestHandler):
@@ -169,6 +188,11 @@ def make_handler(service: MatchService):
                 elif self.path == "/match_many":
                     cts = decode_array(req["ct"])
                     res = service.match_many(pat, cts, fold, budget, mv, pos)
+                    self._reply(200, {"ct": encode_array(res)})
+                elif self.path == "/match_long":
+                    ct = decode_array(req["ct"])
+                    res = service.match_long(pat, ct, req.get("window"),
+                                             fold, budget, mv)
                     self._reply(200, {"ct": encode_array(res)})
                 else:
                     self._reply(404, {"error": "unknown path"})

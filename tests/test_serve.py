@@ -141,3 +141,14 @@ def test_match_many_positions_over_http(server, keys):
     assert res.shape[:2] == (2, 4)
     assert [[decrypt(ck, res[c, i]) for i in range(4)] for c in range(2)] \
         == [[1, 0, 0, 0], [0, 1, 0, 0]]
+
+
+def test_match_long_over_http(server, keys):
+    ck, _ = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "xxxxxxxxxxxxabcxxxxx")
+    out = _post(server, "/match_long",
+                {"pattern": "/abc/", "window": 6, "ct": encode_array(ct)})
+    assert decrypt(ck, decode_array(out["ct"])) == 1
+    out = _post(server, "/match_long",
+                {"pattern": "/abd/", "window": 6, "ct": encode_array(ct)})
+    assert decrypt(ck, decode_array(out["ct"])) == 0
