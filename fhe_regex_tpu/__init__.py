@@ -429,14 +429,18 @@ def _or_reduce_bits(server_key: ServerKey, backend: Optional[str],
     """Homomorphic OR of M encrypted result bits -> one radix ciphertext.
 
     bits [M, num_blocks, n+1]: block-0 rows carry the 0/1 (the executor's
-    root convention).  Log3-depth rounds of batched OR2/OR3 bootstraps on
-    the executor's fixed launch shapes.
+    root convention).  Log3-depth rounds of batched OR2/OR3 bootstraps,
+    chunked onto the executor's fixed launch shapes ({SMALL, MAX}-wide —
+    every new shape is a minutes-long remote Mosaic compile on axon).
     """
     import jax.numpy as jnp
 
     from fhe_regex_tpu.crypto.golden import make_lut_poly
     from fhe_regex_tpu.ops.luts import LUT_OR2, LUT_OR3, lut_fn
-    from fhe_regex_tpu.regex.executor import (_limbs_to_np, _np_to_limbs,
+    from fhe_regex_tpu.regex.executor import (MAX_LEVEL_BATCH,
+                                              SMALL_LEVEL_BATCH, _bucket,
+                                              _chunk_sizes, _limbs_to_np,
+                                              _np_to_limbs,
                                               default_min_bucket)
 
     params = server_key.params
@@ -445,46 +449,63 @@ def _or_reduce_bits(server_key: ServerKey, backend: Optional[str],
     luts = np.stack([make_lut_poly(params, lut_fn(LUT_OR2)),
                      make_lut_poly(params, lut_fn(LUT_OR3))])
     luts_dev = jnp.asarray(_np_to_limbs(luts, tb))
-    pad = default_min_bucket()
     rows = np.ascontiguousarray(bits[:, 0, :])          # [M, n+1]
     while rows.shape[0] > 1:
         g = [rows[i:i + 3] for i in range(0, rows.shape[0], 3)]
         carry = [grp for grp in g if grp.shape[0] == 1]
         work = [grp for grp in g if grp.shape[0] > 1]
-        if not work:
-            rows = np.concatenate(carry)
-            continue
+        # rows > 1 guarantees the first group has >= 2 elements
+        assert work, "reduction round with no pairs"
         x = _np_to_limbs(np.stack([grp[0] for grp in work]), tb)
         idx = []
+        dt = np.uint32 if tb == 32 else np.uint64
         for j, grp in enumerate(work):
-            if tb == 32:
-                with np.errstate(over="ignore"):
-                    v = grp[0].astype(np.uint32) + 2 * grp[1].astype(np.uint32)
-                    if grp.shape[0] == 3:
-                        v = v + 4 * grp[2].astype(np.uint32)
-                x[j] = v.view(np.int32)
-            else:
-                with np.errstate(over="ignore"):
-                    v = grp[0].astype(np.uint64) + 2 * grp[1].astype(np.uint64)
-                    if grp.shape[0] == 3:
-                        v = v + 4 * grp[2].astype(np.uint64)
-                x[j] = _np_to_limbs(v, tb)
+            with np.errstate(over="ignore"):
+                v = grp[0].astype(dt) + dt(2) * grp[1].astype(dt)
+                if grp.shape[0] == 3:
+                    v = v + dt(4) * grp[2].astype(dt)
+            x[j] = v.view(np.int32) if tb == 32 else _np_to_limbs(v, tb)
             idx.append(0 if grp.shape[0] == 2 else 1)
         B = len(work)
-        Bp = pad
-        while Bp < B:
-            Bp *= 2
-        xp = np.zeros((Bp,) + x.shape[1:], np.int32)
+        pad = default_min_bucket()
+        if pad >= SMALL_LEVEL_BATCH:         # TPU: fixed {SMALL, MAX} shapes
+            sizes = _chunk_sizes(B, False)
+        else:                                # CPU: cheap power-of-two buckets
+            sizes = [MAX_LEVEL_BATCH] * (B // MAX_LEVEL_BATCH)
+            if B % MAX_LEVEL_BATCH:
+                sizes.append(_bucket(B % MAX_LEVEL_BATCH, pad))
+        total = sum(sizes)
+        xp = np.zeros((total,) + x.shape[1:], np.int32)
         xp[:B] = x
-        out = np.asarray(ex._core(ex._key_args, luts_dev,
-                                  jnp.asarray(np.asarray(idx + [0] * (Bp - B),
-                                                         np.int32)),
-                                  jnp.asarray(xp)))[:B]
+        idxp = np.zeros(total, np.int32)
+        idxp[:B] = idx
+        outs, c0 = [], 0
+        for w in sizes:
+            outs.append(np.asarray(ex._core(
+                ex._key_args, luts_dev, jnp.asarray(idxp[c0:c0 + w]),
+                jnp.asarray(xp[c0:c0 + w]))))
+            c0 += w
+        out = np.concatenate(outs)[:B]
         rows = np.concatenate([_limbs_to_np(out, tb)] + carry)
     n1 = params.lwe_dimension + 1
     res = np.zeros((params.num_blocks, n1), rows.dtype)
     res[0] = rows[0]
     return res
+
+
+def _window_plan(span: int, L: int, window: Optional[int]):
+    """Shared window layout for long-content matching: (W, starts).
+
+    Default W is at least 2*span so the stride (W - span) stays >= span;
+    the final window is flush with the content end.  Returns W >= L (and
+    no starts) when windowing cannot help."""
+    W = window if window is not None else max(2 * span, span + 1,
+                                              min(64, L))
+    W = min(max(W, span + 1), L)
+    if W >= L:
+        return W, []
+    S = W - span
+    return W, sorted({*range(0, L - W, S), L - W})
 
 
 def has_match_long(server_key: ServerKey, ct_content: np.ndarray,
@@ -546,15 +567,9 @@ def has_match_long(server_key: ServerKey, ct_content: np.ndarray,
     if eof:
         return direct(content[L - min(L, max(span, 1)):])
 
-    # default window: at least 2*span so the stride stays >= span (a
-    # window of span+1 would slide one char at a time)
-    W = window if window is not None else max(2 * span, span + 1,
-                                              min(64, L))
-    W = min(max(W, span + 1), L)
-    if W >= L:
+    W, starts = _window_plan(span, L, window)
+    if not starts:
         return direct(content)
-    S = W - span
-    starts = sorted({*range(0, L - W, S), L - W})
     wins = np.stack([content[a:a + W] for a in starts])
     bits = has_match_many(server_key, wins, pattern, backend=backend,
                           fold=fold, engine=engine,
@@ -584,26 +599,40 @@ def has_match_many_long(server_key: ServerKey, ct_contents,
     from fhe_regex_tpu.regex.engine import has_anchor, max_match_span
     from fhe_regex_tpu.regex.parser import parse as _parse
 
+    params = server_key.params
     contents = np.ascontiguousarray(ct_contents)
     if contents.ndim != 4:
         raise ValueError("expected [C, len, num_blocks, n+1] contents")
     C, L = contents.shape[0], contents.shape[1]
     re = _parse(pattern)
     span = max_match_span(re)
-    unanchored = (span is not None and L > 0
-                  and not has_anchor(re, _P.SOF) and not has_anchor(re, _P.EOF))
-    W = (window if window is not None
-         else max(2 * (span or 0), (span or 0) + 1, min(64, L)))
-    if not unanchored or min(max(W, span + 1), L) >= L:
-        return np.stack([
-            has_match_long(server_key, contents[c], pattern, window=window,
-                           backend=backend, fold=fold, engine=engine,
-                           branch_budget=branch_budget,
-                           multivalue=multivalue)
-            for c in range(C)])
-    W = min(max(W, span + 1), L)
-    S = W - span
-    starts = sorted({*range(0, L - W, S), L - W})
+
+    def batched(cts):
+        return has_match_many(server_key, cts, pattern, backend=backend,
+                              fold=fold, engine=engine,
+                              branch_budget=branch_budget,
+                              wide_batch=wide_batch, multivalue=multivalue)
+
+    if span is None or L == 0:
+        return batched(contents)
+    sof = has_anchor(re, _P.SOF)
+    eof = has_anchor(re, _P.EOF)
+    # anchored patterns reduce to ONE flush window per document — still a
+    # single batched launch over all documents
+    if sof and eof:
+        if L <= span:
+            return batched(contents)
+        n1 = params.lwe_dimension + 1
+        dt = np.uint32 if params.torus_bits == 32 else np.uint64
+        return np.zeros((C, params.num_blocks, n1), dt)
+    if sof:
+        return batched(contents[:, :min(L, span + 1)])
+    if eof:
+        return batched(contents[:, L - min(L, max(span, 1)):])
+
+    W, starts = _window_plan(span, L, window)
+    if not starts:
+        return batched(contents)
     M = len(starts)
     wins = np.stack([contents[c, a:a + W] for c in range(C) for a in starts])
     bits = has_match_many(server_key, wins, pattern, backend=backend,

@@ -128,6 +128,10 @@ class MatchService:
         circuit cached like any other program (one shape per window size)."""
         from fhe_regex_tpu import has_match_long
 
+        if isinstance(pattern, (list, tuple)):
+            raise ValueError("/match_long takes a single \"pattern\" "
+                             "(pattern sets are not windowed)")
+
         # program caching happens inside has_match_many via the executor's
         # per-circuit device caches; the compiled window circuit itself is
         # rebuilt per call (cheap, native engine) — serialize device use
@@ -190,6 +194,9 @@ def make_handler(service: MatchService):
                     res = service.match_many(pat, cts, fold, budget, mv, pos)
                     self._reply(200, {"ct": encode_array(res)})
                 elif self.path == "/match_long":
+                    if pos:
+                        raise ValueError(
+                            "positions is not supported on /match_long")
                     ct = decode_array(req["ct"])
                     res = service.match_long(pat, ct, req.get("window"),
                                              fold, budget, mv)

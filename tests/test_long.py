@@ -92,12 +92,13 @@ def test_long_fuzz_vs_oracle(seed, keys):
     except (ValueError, OracleBudgetExceeded, RecursionError):
         pytest.skip(f"{pattern!r} not executable")
     ct = trivial_encrypt_str(TEST_PARAMS, content)
+    from fhe_regex_tpu import BranchBudgetExceeded
     try:
         got = decrypt(ck, has_match_long(sk, ct, pattern, window=6,
                                          backend="jnp",
                                          branch_budget=200_000))
-    except Exception as e:
-        pytest.skip(f"{pattern!r}: {type(e).__name__}")
+    except BranchBudgetExceeded:        # budget parity with the oracle guard
+        pytest.skip(f"{pattern!r}: budget")
     assert got == want, (pattern, content)
 
 
@@ -138,3 +139,39 @@ def test_many_long_anchored_fallback(keys):
     cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
     res = has_match_many_long(sk, cts, "/^abc/", backend="jnp")
     assert [decrypt(ck, r) for r in res] == [1, 0]
+
+
+def test_long_64bit():
+    """Windowed matching + the limb-pair OR reduction at the 64-bit width."""
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+
+    ck, sk = gen_keys(TEST_PARAMS_64, seed=17)
+    ct = trivial_encrypt_str(TEST_PARAMS_64, "xxxxxxxxxxxxabcxxxxx")
+    res = has_match_long(sk, ct, "/abc/", window=6)
+    assert res.dtype == np.uint64
+    assert decrypt(ck, res) == 1
+    assert decrypt(ck, has_match_long(sk, ct, "/abd/", window=6)) == 0
+
+
+def test_long_fixed_launch_shapes(keys, monkeypatch):
+    """The OR reduction must only launch the executor's fixed shapes (every
+    new shape is a minutes-long remote Mosaic compile on the TPU path)."""
+    import fhe_regex_tpu as F
+    from fhe_regex_tpu.regex import executor as X
+
+    ck, sk = keys
+    monkeypatch.setattr(X, "default_min_bucket", lambda: 64)
+    seen = []
+    ex = F._executor_for(sk, "jnp")
+    orig = ex._core
+
+    def spying(key, luts, idx, cts):
+        seen.append(int(cts.shape[0]))
+        return orig(key, luts, idx, cts)
+
+    monkeypatch.setattr(ex, "_core", spying)
+    ct = trivial_encrypt_str(TEST_PARAMS, "x" * 40 + "abc" + "x" * 21)
+    assert decrypt(ck, F.has_match_long(sk, ct, "/abc/", window=6,
+                                        backend="jnp")) == 1
+    assert seen and all(s in (64, 256) for s in seen), seen
