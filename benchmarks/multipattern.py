@@ -58,12 +58,13 @@ def main():
     sep_pbs = sum(len(compile_match(L, p, fold="tree")[0].ops)
                   for p in RULESET)
 
-    # joint path: warm then steady-state
+    # joint path: warm then steady-state (MP_MV=1 adds shared rotations)
+    mv = os.environ.get("MP_MV") == "1"
     t0 = time.time()
-    res = has_match_many_patterns(sk, cts, RULESET)
+    res = has_match_many_patterns(sk, cts, RULESET, multivalue=mv)
     warm = time.time() - t0
     t0 = time.time()
-    res = has_match_many_patterns(sk, cts, RULESET)
+    res = has_match_many_patterns(sk, cts, RULESET, multivalue=mv)
     joint_s = time.time() - t0
 
     # separate path (per-pattern run_many), steady-state
@@ -82,6 +83,7 @@ def main():
 
     print(json.dumps({
         "metric": "multipattern_serving",
+        "multivalue": mv,
         "patterns": P, "batch": C, "content_len": L,
         "joint_pbs": joint_pbs, "separate_pbs": sep_pbs,
         "pbs_sharing_ratio": round(sep_pbs / joint_pbs, 3),
