@@ -46,6 +46,8 @@ __all__ = [
     "has_match_many_positions",
     "has_match_long",
     "has_match_many_long",
+    "count_matches",
+    "decrypt_count",
     "decrypt",
     "compile_match",
     "BranchBudgetExceeded",
@@ -644,6 +646,50 @@ def has_match_many_long(server_key: ServerKey, ct_contents,
     return np.stack([
         _or_reduce_bits(server_key, backend, bits[c * M:(c + 1) * M])
         for c in range(C)])
+
+
+def count_matches(server_key: ServerKey, ct_content: np.ndarray,
+                  pattern: str, backend: Optional[str] = None,
+                  fold: str = "tree",
+                  branch_budget: Optional[int] = None) -> np.ndarray:
+    """Encrypted NUMBER of matching start offsets.
+
+    Builds the per-position match bits (has_match_positions' circuit) and
+    sums them homomorphically into little-endian base-4 digits
+    (circuit.count_bits: a log-depth popcount + ripple-carry adder tree).
+    Returns ``[D, num_blocks, n+1]`` — decrypt with ``decrypt_count``.
+    The count reveals strictly more than the reference's 0/1 (still only
+    to the key holder); the match bit is `count > 0`.
+    """
+    from fhe_regex_tpu.regex.circuit import Node, count_bits
+    from fhe_regex_tpu.regex.engine import compile_match_positions
+    from fhe_regex_tpu.regex.executor import default_min_bucket
+
+    params = server_key.params
+    # the Python builder (count_bits appends ops to it); counting LUTs are
+    # non-boolean, so the circuit compiles classic (no multivalue)
+    builder, roots = compile_match_positions(
+        len(ct_content), pattern, num_blocks=params.num_blocks, fold=fold,
+        branch_budget=branch_budget)
+    digits = count_bits(builder, roots)
+    digit_roots = [Node(("count", i), d) for i, d in enumerate(digits)]
+    circuit = compile_circuit(params, builder, digit_roots,
+                              min_bucket=default_min_bucket())
+    executor = _executor_for(server_key, backend)
+    result = executor.run(circuit, np.ascontiguousarray(ct_content))
+    logger.info(
+        "count over %d positions: %d digits (%d bootstraps in %d levels)",
+        len(roots), len(digits), circuit.pbs_count, len(circuit.levels),
+    )
+    return result
+
+
+def decrypt_count(client_key: ClientKey, ct_count: np.ndarray) -> int:
+    """Decrypt ``count_matches``' little-endian base-4 digit rows."""
+    total = 0
+    for i in range(ct_count.shape[0]):
+        total += decrypt(client_key, ct_count[i]) * (4 ** i)
+    return total
 
 
 def decrypt(client_key: ClientKey, ct_res: np.ndarray) -> int:

@@ -46,6 +46,10 @@ LUT_OR3: LutKey = ("or3",)     # w = x + 2y + 4z -> x | y | z
 # gt-combine and le-combine share one table: p | (q & r)
 LUT_GT_COMBINE: LutKey = ("or_and3",)
 LUT_LE_COMBINE: LutKey = ("or_and3",)
+# counting (base-4 digit arithmetic over w = a + b + c affine sums):
+LUT_IDENT: LutKey = ("ident",)   # w -> w       (re-bootstrap a 0..3 sum)
+LUT_MOD4: LutKey = ("mod4",)     # w -> w % 4   (digit of a 0..7 sum)
+LUT_GE4: LutKey = ("ge4",)       # w -> w >= 4  (carry of a 0..7 sum)
 
 
 # ---------------- multi-value bootstrap factorization ----------------
@@ -116,4 +120,10 @@ def lut_fn(key: LutKey) -> Callable[[int], int]:
         return lambda w: 1 if 1 <= w <= 7 else 0
     if kind == "or_and3":
         return lambda z: 1 if (z & 1) or ((z >> 1) & 1 and (z >> 2) & 1) else 0
+    if kind == "ident":
+        return lambda w: w
+    if kind == "mod4":
+        return lambda w: w % 4
+    if kind == "ge4":
+        return lambda w: 1 if w >= 4 else 0
     raise KeyError(key)

@@ -36,11 +36,14 @@ from fhe_regex_tpu.ops.luts import (
     LUT_AND2,
     LUT_AND3,
     LUT_EQ,
+    LUT_GE4,
     LUT_GT,
     LUT_GT_COMBINE,
+    LUT_IDENT,
     LUT_LE,
     LUT_LE_COMBINE,
     LUT_LT,
+    LUT_MOD4,
     LUT_OR2,
     LUT_OR3,
     LutKey,
@@ -394,3 +397,68 @@ class CircuitBuilder:
         execution.rs:178-195) — counted, cached, but affine here (0 PBS)."""
         expr = ("not", a.expr)
         return self._with_cache(expr, lambda: self._force(a.val).negated())
+
+
+def count_bits(builder: CircuitBuilder, bits: List[Node]) -> List[BitVal]:
+    """Homomorphic popcount: encrypted 0/1 bits -> little-endian base-4
+    count digits (each digit one LWE slot, value 0..3).
+
+    Stage 1 sums bits three at a time (affine combine with UNIT scales, so
+    the input stays in 0..3 — re-bootstrapped through the identity LUT into
+    clean digits); the partial one-digit numbers then reduce pairwise with
+    a ripple-carry base-4 adder (per digit: one mod-4 LUT + one carry LUT
+    on the same 0..7 sum).  Compile-time-constant bits fold into the affine
+    constants for free.  All sums stay within the 16-slot padded plaintext
+    space and the 3-input noise envelope (unit scales sum <= 3 < the 1+2+4
+    gate combine the noise model bounds).
+
+    NOTE: the identity/mod4 LUTs are not boolean, so their multi-value
+    factors are dense — compile count circuits with multivalue=False
+    (compile_circuit enforces the margin).
+    """
+    vals = [builder.force_node(b).val for b in bits]
+    # stage 1: groups of 3 bits -> one digit each (value 0..3)
+    numbers: List[List[BitVal]] = []
+    for i in range(0, len(vals), 3):
+        grp = vals[i:i + 3]
+        ins, k = builder._bit_ins([(v, 1) for v in grp])
+        if not ins:                       # all-constant group
+            numbers.append([BitVal.constant(k)])
+            continue
+        s = builder._emit_pbs(ins, k, LUT_IDENT)
+        numbers.append([BitVal.of_slot(s)])
+    if not numbers:
+        return [BitVal.constant(0)]
+
+    def add(a: List[BitVal], b: List[BitVal]) -> List[BitVal]:
+        """Ripple-carry base-4 addition of two digit vectors."""
+        out: List[BitVal] = []
+        carry = BitVal.constant(0)
+        for i in range(max(len(a), len(b))):
+            da = a[i] if i < len(a) else BitVal.constant(0)
+            db = b[i] if i < len(b) else BitVal.constant(0)
+            terms = [(da, 1), (db, 1), (carry, 1)]
+            ins, k = builder._bit_ins(terms)
+            if not ins:                  # constant digit sum
+                out.append(BitVal.constant(k % 4))
+                carry = BitVal.constant(k // 4)
+                continue
+            out.append(BitVal.of_slot(builder._emit_pbs(ins, k, LUT_MOD4)))
+            carry = BitVal.of_slot(builder._emit_pbs(ins, k, LUT_GE4))
+        out.append(carry)
+        return out
+
+    # balanced pairwise reduction keeps the adder tree log-depth
+    while len(numbers) > 1:
+        nxt = []
+        for i in range(0, len(numbers), 2):
+            if i + 1 < len(numbers):
+                nxt.append(add(numbers[i], numbers[i + 1]))
+            else:
+                nxt.append(numbers[i])
+        numbers = nxt
+    # trim leading constant-zero digits (carries that can never fire)
+    digits = numbers[0]
+    while len(digits) > 1 and digits[-1].sign == 0 and digits[-1].const == 0:
+        digits.pop()
+    return digits

@@ -292,6 +292,13 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
         wv = wcache.get(op.lut)
         if wv is None:
             wv = wcache[op.lut] = mv_weights(params, op.lut)
+            u2 = int((wv.astype(np.int64) ** 2).sum())
+            rep = params.noise_budget_report(mv_norm2=u2)
+            if rep["sigma_margin"] < 5.0:
+                raise ValueError(
+                    f"multivalue factor of LUT {op.lut!r} has ||u||^2={u2}, "
+                    f"leaving only {rep['sigma_margin']:.2f} sigma (< 5) — "
+                    f"compile this circuit with multivalue=False")
         weights[i] = wv
     R = len(leaders)
     # pad the rotation batch to the same executable shapes as op widths
