@@ -21,6 +21,8 @@ buffer + shape/dtype):
                           -> {"ct": {...}} with leading C axis
   POST /match_long        {"pattern", "ct", "window"?} — long contents via
                           overlapping windows (has_match_long)
+  POST /count             {"pattern", "ct"} — encrypted match count as
+                          base-4 digit rows (decrypt with decrypt_count)
 
 Every POST endpoint also accepts "patterns": [...] instead of "pattern" —
 the set compiles to ONE shared multi-root circuit (cross-pattern
@@ -121,6 +123,18 @@ class MatchService:
         with self._lock:
             return self.executor.run_many(circuit, np.ascontiguousarray(cts))
 
+    def count(self, pattern: str, ct: np.ndarray, fold: str = "tree",
+              branch_budget=None) -> np.ndarray:
+        """Encrypted match count (count_matches): base-4 digit rows."""
+        from fhe_regex_tpu import count_matches
+
+        if isinstance(pattern, (list, tuple)):
+            raise ValueError("/count takes a single \"pattern\"")
+        with self._lock:
+            return count_matches(self.server_key, ct, pattern, fold=fold,
+                                 branch_budget=branch_budget,
+                                 backend=self.backend)
+
     def match_long(self, pattern: str, ct: np.ndarray, window=None,
                    fold: str = "tree", branch_budget=None,
                    multivalue: bool = False) -> np.ndarray:
@@ -200,6 +214,10 @@ def make_handler(service: MatchService):
                     ct = decode_array(req["ct"])
                     res = service.match_long(pat, ct, req.get("window"),
                                              fold, budget, mv)
+                    self._reply(200, {"ct": encode_array(res)})
+                elif self.path == "/count":
+                    ct = decode_array(req["ct"])
+                    res = service.count(pat, ct, fold, budget)
                     self._reply(200, {"ct": encode_array(res)})
                 else:
                     self._reply(404, {"error": "unknown path"})

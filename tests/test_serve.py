@@ -152,3 +152,13 @@ def test_match_long_over_http(server, keys):
     out = _post(server, "/match_long",
                 {"pattern": "/abd/", "window": 6, "ct": encode_array(ct)})
     assert decrypt(ck, decode_array(out["ct"])) == 0
+
+
+def test_count_over_http(server, keys):
+    from fhe_regex_tpu import decrypt_count
+
+    ck, _ = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "abcabcxabc")
+    out = _post(server, "/count", {"pattern": "/abc/",
+                                   "ct": encode_array(ct)})
+    assert decrypt_count(ck, decode_array(out["ct"])) == 3
