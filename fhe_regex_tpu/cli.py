@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     ap.add_argument("--multivalue", action="store_true",
                     help="share blind rotations between same-input ops "
                          "(multi-value bootstrap)")
+    ap.add_argument("--count", action="store_true",
+                    help="print the NUMBER of matching offsets instead of 0/1")
+    ap.add_argument("--positions", action="store_true",
+                    help="print one 0/1 per start offset instead of the "
+                         "global match bit")
+    ap.add_argument("--long", dest="long_", action="store_true",
+                    help="windowed long-content matching (fixed circuit "
+                         "shape for any content length)")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -76,13 +84,37 @@ def main(argv=None) -> int:
         return 2
 
     log.info("applying regex..")
-    from fhe_regex_tpu import BranchBudgetExceeded
+    from fhe_regex_tpu import (BranchBudgetExceeded, count_matches,
+                               decrypt_count, has_match_long,
+                               has_match_positions)
     try:
-        ct_res = has_match(server_key, ct_content, args.pattern,
-                           backend=args.backend, fold=args.fold,
-                           engine=args.engine,
-                           branch_budget=args.branch_budget,
-                           multivalue=args.multivalue or None)
+        if args.count:
+            ct_res = count_matches(server_key, ct_content, args.pattern,
+                                   backend=args.backend, fold=args.fold,
+                                   branch_budget=args.branch_budget)
+            print(f"count: {decrypt_count(client_key, ct_res)}")
+            return 0
+        if args.positions:
+            ct_res = has_match_positions(server_key, ct_content, args.pattern,
+                                         backend=args.backend, fold=args.fold,
+                                         engine=args.engine,
+                                         branch_budget=args.branch_budget,
+                                         multivalue=args.multivalue or None)
+            bits = "".join(str(decrypt(client_key, r)) for r in ct_res)
+            print(f"positions: {bits}")
+            return 0
+        if args.long_:
+            ct_res = has_match_long(server_key, ct_content, args.pattern,
+                                    backend=args.backend, fold=args.fold,
+                                    engine=args.engine,
+                                    branch_budget=args.branch_budget,
+                                    multivalue=args.multivalue or None)
+        else:
+            ct_res = has_match(server_key, ct_content, args.pattern,
+                               backend=args.backend, fold=args.fold,
+                               engine=args.engine,
+                               branch_budget=args.branch_budget,
+                               multivalue=args.multivalue or None)
     except BranchBudgetExceeded as e:
         print(f"error: {e}", file=sys.stderr)
         return 3

@@ -61,3 +61,16 @@ def test_cli_branch_budget_exit_code(capsys):
                          "--branch-budget", "10")
     assert rc == 3
     assert "error" in err
+
+
+def test_cli_count_positions_long(capsys):
+    from fhe_regex_tpu.cli import main
+
+    base = ["--params", "TEST_PARAMS", "--trivial", "--backend", "jnp",
+            "--seed", "1"]
+    assert main(["abcabc", "/abc/", "--count"] + base) == 0
+    assert "count: 2" in capsys.readouterr().out
+    assert main(["abcabc", "/abc/", "--positions"] + base) == 0
+    assert "positions: 100100" in capsys.readouterr().out
+    assert main(["xxxxxabcxx", "/abc/", "--long"] + base) == 0
+    assert "res: 1" in capsys.readouterr().out
