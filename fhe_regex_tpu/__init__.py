@@ -594,8 +594,9 @@ def has_match_many_long(server_key: ServerKey, ct_contents,
     The batched form of ``has_match_long``: the windows of every document
     pack into ONE ``run_many`` batch (levels amortize across all windows of
     all documents), then each document's window bits OR-reduce.  Returns
-    ``[C, num_blocks, n+1]``.  Anchored / unbounded-span patterns fall back
-    per-document to the single-content path.
+    ``[C, num_blocks, n+1]``.  Anchored / unbounded-span patterns reduce to
+    a single batched ``has_match_many`` launch over the (possibly trimmed)
+    documents — no windowing needed, still one launch for all C.
     """
     from fhe_regex_tpu.regex import parser as _P
     from fhe_regex_tpu.regex.engine import has_anchor, max_match_span

@@ -89,6 +89,15 @@ def main(argv=None) -> int:
                                has_match_positions)
     try:
         if args.count:
+            if args.multivalue:
+                # counting LUT factors fail the mv sigma-margin check, so
+                # count_matches always compiles classic — surface that
+                # instead of silently ignoring the flag
+                print("error: --multivalue is not supported with --count "
+                      "(counting LUTs fail the multi-value noise-margin "
+                      "check; the count circuit always compiles classic)",
+                      file=sys.stderr)
+                return 2
             ct_res = count_matches(server_key, ct_content, args.pattern,
                                    backend=args.backend, fold=args.fold,
                                    branch_budget=args.branch_budget)

@@ -139,9 +139,15 @@ def mv_extract(params: Params, accs, weights, leader, positions=None):
 
 def mv_extract64(params: Params, accs, weights, leader, positions=None):
     """64-bit derived big-LWEs: accs [R, k+1, N, 2] int32 limb pairs ->
-    [W, kN+1, 2] (carry-exact weighted sums; |weights| < 32)."""
+    [W, kN+1, 2] (carry-exact weighted sums; |weights| < 32 — enforced,
+    since the 5-bit shift-add loop below would silently drop higher
+    weight bits)."""
     from fhe_regex_tpu.ops import pbs64 as p64
 
+    if isinstance(weights, np.ndarray):
+        assert np.abs(weights).max(initial=0) < 32, (
+            "mv_extract64 supports |weights| < 32 (5-bit shift-add); got "
+            f"max |w| = {np.abs(weights).max()}")
     pos = mv_support_positions(params) if positions is None else positions
     big_lo = big_hi = None
     for m, p in enumerate(pos):

@@ -110,8 +110,10 @@ class MatchService:
               positions: bool = False) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
+        with self._compile_lock:      # per-length circuit cache is shared
+            circuit = prog.circuit(len(ct))
         with self._lock:
-            return prog.match(self.executor, ct)
+            return self.executor.run(circuit, np.ascontiguousarray(ct))
 
     def match_many(self, pattern, cts: np.ndarray, fold: str = "tree",
                    branch_budget=None, multivalue: bool = False,
