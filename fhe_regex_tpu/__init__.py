@@ -129,8 +129,8 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
 
     params = server_key.params
     if engine is None:
-        from fhe_regex_tpu.regex.native import available
-        engine = "native" if available() else "python"
+        from fhe_regex_tpu.regex.native import default_engine
+        engine = default_engine()
     if engine == "native":
         from fhe_regex_tpu.regex.native import compile_match_native
         builder, root = compile_match_native(
@@ -173,8 +173,8 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
     if contents.ndim != 4:
         raise ValueError("expected [C, len, num_blocks, n+1] contents")
     if engine is None:
-        from fhe_regex_tpu.regex.native import available
-        engine = "native" if available() else "python"
+        from fhe_regex_tpu.regex.native import default_engine
+        engine = default_engine()
     if engine == "native":
         from fhe_regex_tpu.regex.native import compile_match_native
         builder, root = compile_match_native(
@@ -261,8 +261,8 @@ def _compile_multi(params: Params, content_len: int, patterns,
     if not patterns:
         raise ValueError("need at least one pattern")
     if engine is None:
-        from fhe_regex_tpu.regex.native import available
-        engine = "native" if available() else "python"
+        from fhe_regex_tpu.regex.native import default_engine
+        engine = default_engine()
     if engine == "native":
         from fhe_regex_tpu.regex.native import compile_match_native_multi
         return compile_match_native_multi(
@@ -278,8 +278,8 @@ def _compile_positions(params: Params, content_len: int, pattern: str,
                        fold: str, engine: Optional[str],
                        branch_budget: Optional[int]):
     if engine is None:
-        from fhe_regex_tpu.regex.native import available
-        engine = "native" if available() else "python"
+        from fhe_regex_tpu.regex.native import default_engine
+        engine = default_engine()
     if engine == "native":
         from fhe_regex_tpu.regex.native import compile_match_native_positions
         return compile_match_native_positions(

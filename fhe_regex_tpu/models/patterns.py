@@ -48,11 +48,11 @@ class CompiledPattern:
     def _compile(self, content_len: int):
         """-> (builder, root_or_roots); subclasses override this hook."""
         from fhe_regex_tpu.regex.engine import compile_match
-        from fhe_regex_tpu.regex.native import available
+        from fhe_regex_tpu.regex.native import default_engine
 
         engine = self.engine
         if engine is None:
-            engine = "native" if available() else "python"
+            engine = default_engine()
         if engine == "native":
             from fhe_regex_tpu.regex.native import compile_match_native
             return compile_match_native(
@@ -89,6 +89,7 @@ class CompiledPattern:
             "ct_ops": c.ct_ops,
             "cache_hits": c.cache_hits,
             "bootstraps": c.pbs_count,
+            "rotations": c.rotation_count,
             "levels": len(c.levels),
         }
 

@@ -30,6 +30,7 @@ carry-managed radix smart ops.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Tuple
 
 from fhe_regex_tpu.ops.luts import (
@@ -53,6 +54,46 @@ from fhe_regex_tpu.ops.luts import (
 # Tuples: ("const", c) | ("ctpos", at) | (op, a, b) | ("not", a)
 
 Expr = Tuple
+
+logger = logging.getLogger("fhe_regex_tpu.circuit")
+
+# The reference logs cache hits at trace! (execution.rs:214) — Python
+# logging has no TRACE, so register level 5 (enable via FHE_REGEX_LOG=TRACE)
+TRACE = 5
+logging.addLevelName(TRACE, "TRACE")
+
+_EXPR_OP = {"and": "/\\", "or": "\\/", "eq": "==", "ge": ">=", "le": "<="}
+
+
+def format_expr(e: Expr) -> str:
+    """Pretty-print an ``Executed`` expression in the reference's Debug
+    format (execution.rs:225-276): constants 0/1 as ``f``/``t``, other
+    constants as their character, ``ct_<at>`` for content positions, and
+    parenthesized infix ``/\\ \\/ == >= <=`` plus prefix ``(!...)``.
+
+    Iterative (explicit stack): strict-fold exprs nest one level per OR'd
+    branch, which would overflow Python's recursion limit on long contents.
+    """
+    out: List[str] = []
+    stack: List[object] = [e]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, str):
+            out.append(x)
+            continue
+        kind = x[0]
+        if kind == "const":
+            c = x[1]
+            out.append("f" if c == 0 else "t" if c == 1 else chr(c))
+        elif kind == "ctpos":
+            out.append(f"ct_{x[1]}")
+        elif kind == "not":
+            out.append("(!")
+            stack.extend([")", x[1]])
+        else:
+            out.append("(")
+            stack.extend([")", x[2], _EXPR_OP[kind], x[1]])
+    return "".join(out)
 
 
 def expr_const(c: int) -> Expr:
@@ -201,8 +242,12 @@ class CircuitBuilder:
     def _with_cache(self, expr: Expr, run) -> Node:
         hit = self._cache.get(expr)
         if hit is not None:
+            if logger.isEnabledFor(TRACE):          # execution.rs:214
+                logger.log(TRACE, "cache hit: %s", format_expr(expr))
             self.cache_hits += 1
             return Node(expr, hit)
+        if logger.isEnabledFor(logging.DEBUG):      # execution.rs:218
+            logger.debug("evaluation for: %s", format_expr(expr))
         self.ct_ops += 1
         val = run()
         self._cache[expr] = val

@@ -20,11 +20,14 @@ identical to the reference.
 
 from __future__ import annotations
 
+import logging
 from typing import Callable, List, Optional, Tuple
 
 from fhe_regex_tpu.regex import parser as P
-from fhe_regex_tpu.regex.circuit import CircuitBuilder, Node
+from fhe_regex_tpu.regex.circuit import TRACE, CircuitBuilder, Node
 from fhe_regex_tpu.regex.parser import parse
+
+logger = logging.getLogger("fhe_regex_tpu.engine")
 
 LazyExecution = Callable[[CircuitBuilder], Node]
 Branch = Tuple[LazyExecution, int]
@@ -68,6 +71,9 @@ _NO_BUDGET = BranchBudget(None)
 
 def build_branches(content_len: int, re: P.RegExpr, c_pos: int,
                    budget: BranchBudget = _NO_BUDGET) -> List[Branch]:
+    if logger.isEnabledFor(TRACE):                    # engine.rs:50
+        logger.log(TRACE, "program pointer: regex=%r, content pos=%d",
+                   re, c_pos)
     if isinstance(re, P.SOF):
         if c_pos != 0:
             return []

@@ -31,6 +31,20 @@ def available() -> bool:
     return _load() is not None
 
 
+def default_engine() -> str:
+    """'native' if the C++ compiler is built — except when per-op debug
+    logging is enabled (FHE_REGEX_LOG=DEBUG/TRACE): the reference-parity
+    cache-hit / "evaluation for" logs (execution.rs:214-218) are emitted by
+    the Python builder, so debug runs route through it (both builders are
+    byte-exact, tests/test_native_circuit.py)."""
+    import logging
+
+    from fhe_regex_tpu.regex.circuit import logger as _circuit_logger
+    if _circuit_logger.isEnabledFor(logging.DEBUG):
+        return "python"
+    return "native" if available() else "python"
+
+
 def _load():
     global _lib
     if _lib is None and _LIB_PATH.exists():

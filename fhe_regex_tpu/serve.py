@@ -12,6 +12,10 @@ Endpoints (JSON; ciphertext arrays as base64 of the raw little-endian
 buffer + shape/dtype):
 
   GET  /health            -> {"status": "ok", "params": ..., "backend": ...}
+  GET  /stats             -> request counters, per-program circuit stats
+                          (bootstraps / rotations / levels per content
+                          length), and the per-level timings of the last
+                          profiled match ("profile": true on /match)
   POST /compile           {"pattern", "content_len"} -> circuit stats
                           (pre-warms the executable for that shape)
   POST /match             {"pattern", "ct": {"b64", "shape", "dtype"},
@@ -73,6 +77,41 @@ class MatchService:
         # dicts — serialize it separately from the device lock so two
         # concurrent requests for a new pattern can't both compile it
         self._compile_lock = threading.Lock()
+        # observability (/stats): per-endpoint request counters and the
+        # per-level timing of the last profiled /match (profile: true)
+        self._stats_lock = threading.Lock()
+        self._requests: dict = {}
+        self._last_profile: Optional[dict] = None
+
+    def _count_request(self, endpoint: str, seconds: float) -> None:
+        with self._stats_lock:
+            row = self._requests.setdefault(endpoint,
+                                            {"count": 0, "seconds": 0.0})
+            row["count"] += 1
+            row["seconds"] += seconds
+
+    def stats(self) -> dict:
+        """Daemon observability: request counters, every compiled program's
+        circuit stats per content length (bootstraps / blind-rotation counts
+        / levels), and the per-level timings of the last profiled match."""
+        programs = []
+        with self._compile_lock:
+            progs = list(self._programs.items())
+            for key, prog in progs:
+                pat, fold, budget, mv, pos = key
+                lengths = {str(L): prog.stats(L)
+                           for L in sorted(prog._circuits)}
+                programs.append({
+                    "pattern": list(pat) if isinstance(pat, tuple) else pat,
+                    "fold": fold, "multivalue": mv, "positions": pos,
+                    "lengths": lengths,
+                })
+        with self._stats_lock:
+            return {
+                "requests": {k: dict(v) for k, v in self._requests.items()},
+                "programs": programs,
+                "last_profile": self._last_profile,
+            }
 
     def _program(self, pattern, fold: str, branch_budget,
                  multivalue: bool = False, positions: bool = False):
@@ -107,13 +146,23 @@ class MatchService:
 
     def match(self, pattern, ct: np.ndarray, fold: str = "tree",
               branch_budget=None, multivalue: bool = False,
-              positions: bool = False) -> np.ndarray:
+              positions: bool = False, profile: bool = False) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
         with self._compile_lock:      # per-length circuit cache is shared
             circuit = prog.circuit(len(ct))
         with self._lock:
-            return self.executor.run(circuit, np.ascontiguousarray(ct))
+            out = self.executor.run(circuit, np.ascontiguousarray(ct),
+                                    profile=profile)
+        if profile:
+            with self._stats_lock:
+                self._last_profile = {
+                    "pattern": pattern if isinstance(pattern, str)
+                    else list(pattern),
+                    "content_len": int(len(ct)),
+                    "levels": self.executor.last_run_stats,
+                }
+        return out
 
     def match_many(self, pattern, cts: np.ndarray, fold: str = "tree",
                    branch_budget=None, multivalue: bool = False,
@@ -181,10 +230,14 @@ def make_handler(service: MatchService):
                     "backend": resolve_backend(service.backend,
                                                service.params),
                 })
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
             else:
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            import time
+            t0 = time.time()
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -203,7 +256,9 @@ def make_handler(service: MatchService):
                     self._reply(200, out)
                 elif self.path == "/match":
                     ct = decode_array(req["ct"])
-                    res = service.match(pat, ct, fold, budget, mv, pos)
+                    res = service.match(pat, ct, fold, budget, mv, pos,
+                                        profile=bool(req.get("profile",
+                                                             False)))
                     self._reply(200, {"ct": encode_array(res)})
                 elif self.path == "/match_many":
                     cts = decode_array(req["ct"])
@@ -223,6 +278,7 @@ def make_handler(service: MatchService):
                     self._reply(200, {"ct": encode_array(res)})
                 else:
                     self._reply(404, {"error": "unknown path"})
+                service._count_request(self.path, time.time() - t0)
             except Exception as e:   # surface as a clean client error
                 self._reply(400, {"error": f"{type(e).__name__}: {e}"})
 

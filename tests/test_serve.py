@@ -162,3 +162,23 @@ def test_count_over_http(server, keys):
     out = _post(server, "/count", {"pattern": "/abc/",
                                    "ct": encode_array(ct)})
     assert decrypt_count(ck, decode_array(out["ct"])) == 3
+
+
+def test_stats_endpoint(server, keys):
+    ck, _ = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "abc")
+    out = _post(server, "/match", {"pattern": "/ab/",
+                                   "ct": encode_array(ct),
+                                   "profile": True})
+    assert decrypt(ck, decode_array(out["ct"])) == 1
+    with urllib.request.urlopen(server + "/stats") as r:
+        stats = json.loads(r.read())
+    assert stats["requests"]["/match"]["count"] >= 1
+    assert stats["requests"]["/match"]["seconds"] > 0
+    prog = next(p for p in stats["programs"] if p["pattern"] == "/ab/")
+    row = prog["lengths"]["3"]
+    assert row["bootstraps"] > 0 and row["rotations"] > 0
+    prof = stats["last_profile"]
+    assert prof["pattern"] == "/ab/" and prof["content_len"] == 3
+    assert len(prof["levels"]) > 0
+    assert all("seconds" in lv and "width" in lv for lv in prof["levels"])
