@@ -21,12 +21,17 @@ identical, so results stay bit-exact with the reference on its test vectors.
 
 Noise rationale (32-bit torus, q = 2^32, Delta = q/32 = 2^27):
   - lwe: n=866 with sigma/q = 2^-19.9.  The reference's (n=742,
-    sigma/q=2^-17.1) point gives ~128-bit security; scaling along the
-    constant-security line n / log2(q/sigma) ~= 43.4 to n=866 allows
-    sigma/q = 2^-19.9, which shrinks keyswitch-key noise ~7x and lifts the
+    sigma/q=2^-17.1) point gives ~128-bit security; rescaling to (n=866,
+    sigma/q=2^-19.9) shrinks keyswitch-key noise ~7x and lifts the
     worst-case per-PBS LUT margin from ~3.9 sigma to >8 sigma (the margin is
     what guarantees decrypted-result parity with the reference).  The extra
-    124 blind-rotation steps cost ~17% compute.
+    124 blind-rotation steps cost ~17% compute.  Security of the rescaled
+    point is ESTIMATED, not heuristic: utils/security.py (primal uSVP,
+    core-SVP cost; calibrated against the HE-standard table and the
+    tfhe-rs 0.2 pin) gives BKZ beta=362 vs the reference pin's beta=356 —
+    at least as hard — and >=128-bit classical under the full-BKZ cost
+    model; asserted by tests/test_security.py, written up in
+    docs/SECURITY.md.
   - glwe: k=1, N=2048.  The 64-bit set's ratio 2^-51.7 is below one
     discretization unit at q=2^32; we use sigma_abs ~= 3.2 (sigma/q=2^-30.4),
     which is *more* relative noise, hence at least as secure for k*N=2048.

@@ -1,0 +1,74 @@
+"""Security assertions for the production parameter sets (docs/SECURITY.md).
+
+Replaces the round-1 "constant-security line" heuristic (VERDICT item 3)
+with a pinned primal-uSVP / core-SVP estimate: these tests fail if any
+parameter drift drops a set below the 128-bit full-BKZ bound, below the
+bare-core-SVP floor, or below the reference's own tfhe-rs 0.2 security pin
+— or if the estimator itself drifts off its calibration anchors.
+"""
+
+import pytest
+
+from fhe_regex_tpu.params import (
+    REF_MESSAGE_2_CARRY_2_64,
+    TPU64_MESSAGE_2_CARRY_2,
+    TPU_MESSAGE_2_CARRY_2,
+)
+from fhe_regex_tpu.utils.security import estimate_lwe, estimate_params
+
+PRODUCTION_SETS = [TPU_MESSAGE_2_CARRY_2, REF_MESSAGE_2_CARRY_2_64,
+                   TPU64_MESSAGE_2_CARRY_2]
+
+# the reference's own security level: tfhe-rs 0.2 PARAM_MESSAGE_2_CARRY_2
+# (src/regex/ciphertext.rs:44), estimated under the identical model
+REF_LWE = estimate_lwe(742, 2.0 ** 64, 7.069849454709433e-6 * 2 ** 64)
+REF_GLWE = estimate_lwe(2048, 2.0 ** 64, 2.9403601535432533e-16 * 2 ** 64)
+
+
+def test_calibration_anchor_hestd():
+    # HE Security Standard 2018, Table 1 (binary secret): n=1024,
+    # log2 q = 25, sigma = 3.2 -> 128-bit classical
+    e = estimate_lwe(1024, 2.0 ** 25, 3.2)
+    assert 350 <= e.beta <= 395, e
+    assert 125.0 <= e.classical_bits_bkz <= 150.0, e
+
+
+def test_calibration_anchor_tfhe02():
+    # the reference pin was published as ">= 128-bit"; the full-BKZ model
+    # must reproduce that within the documented tolerance
+    assert 345 <= REF_LWE.beta <= 370, REF_LWE
+    assert 128.0 <= REF_LWE.classical_bits_bkz <= 140.0, REF_LWE
+    assert 325 <= REF_GLWE.beta <= 350, REF_GLWE
+    assert 128.0 <= REF_GLWE.classical_bits_bkz <= 140.0, REF_GLWE
+
+
+@pytest.mark.parametrize("params", PRODUCTION_SETS, ids=lambda p: p.name)
+def test_at_least_128_bit_full_bkz(params):
+    r = estimate_params(params)
+    assert r["classical_bits_bkz"] >= 128.0, r
+
+
+@pytest.mark.parametrize("params", PRODUCTION_SETS, ids=lambda p: p.name)
+def test_core_svp_floor(params):
+    # bare core-SVP floor (Kyber-512 sits at 118 for NIST level 1; the
+    # tfhe-rs 0.2 generation sits at 98-106) — fail loudly if a drift ever
+    # takes us below the generation's own floor
+    r = estimate_params(params)
+    assert r["classical_bits"] >= 98.0, r
+    assert r["quantum_bits"] >= 85.0, r
+
+
+@pytest.mark.parametrize("params", PRODUCTION_SETS, ids=lambda p: p.name)
+def test_no_regression_vs_reference_pin(params):
+    """The parity contract: every rescaled point must be at least as hard
+    (attack block size no smaller) as the reference's own tfhe-rs 0.2 pin."""
+    r = estimate_params(params)
+    assert r["lwe"].beta >= REF_LWE.beta, (r["lwe"], REF_LWE)
+    assert r["glwe"].beta >= REF_GLWE.beta, (r["glwe"], REF_GLWE)
+
+
+def test_rescale_confirmed_not_weaker():
+    """The specific round-1 claim: n=866 @ sigma/q=2^-19.9 is at least as
+    secure as n=742 @ 2^-17.1 (same q).  Confirmed by the estimator."""
+    ours = estimate_lwe(866, 2.0 ** 32, 2.0 ** (32 - 19.9))
+    assert ours.beta >= REF_LWE.beta
