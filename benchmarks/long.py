@@ -24,7 +24,8 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
     import jax
-    from fhe_regex_tpu import (decrypt, has_match, has_match_long, get_params,
+    from fhe_regex_tpu import (decrypt, encrypt_str, has_match,
+                               has_match_long, get_params,
                                trivial_encrypt_str)
     from bench import _get_keys
 
@@ -36,7 +37,9 @@ def main():
     ck, sk = _get_keys(params)
 
     content = "x" * (L - 8) + "abcxxxxx"
-    ct = trivial_encrypt_str(params, content)
+    real = os.environ.get("BENCH_ENC", "trivial") == "real"
+    ct = encrypt_str(ck, content) if real \
+        else trivial_encrypt_str(params, content)
 
     t0 = time.time()
     res_w = has_match_long(sk, ct, pattern, window=W)
@@ -56,6 +59,7 @@ def main():
 
     print(json.dumps({
         "metric": "long_content", "pattern": pattern, "content_len": L,
+        "encryption": "real" if real else "trivial",
         "window": W,
         "windowed_cold_s": round(windowed_cold, 2),
         "windowed_warm_s": round(windowed, 2),

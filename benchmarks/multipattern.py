@@ -32,7 +32,8 @@ def main():
                           str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
     import jax
     import numpy as np
-    from fhe_regex_tpu import (decrypt, has_match_many, has_match_many_patterns,
+    from fhe_regex_tpu import (decrypt, encrypt_str, has_match_many,
+                               has_match_many_patterns,
                                trivial_encrypt_str, _compile_multi)
     from fhe_regex_tpu.regex.engine import compile_match
     from fhe_regex_tpu.params import TPU_MESSAGE_2_CARRY_2, TEST_PARAMS
@@ -49,7 +50,10 @@ def main():
              "xxxxxxxxxxxxxxxx"]
     contents = [(texts[i % len(texts)] * ((L + 15) // 16))[:L]
                 for i in range(C)]
-    cts = np.stack([trivial_encrypt_str(params, c) for c in contents])
+    real = os.environ.get("BENCH_ENC", "trivial") == "real"
+    enc = (lambda c: encrypt_str(ck, c)) if real \
+        else (lambda c: trivial_encrypt_str(params, c))
+    cts = np.stack([enc(c) for c in contents])
 
     # compile-time sharing ratio (bootstraps, engine-independent)
     from fhe_regex_tpu.ops.luts import LutKey  # noqa: F401  (import sanity)
@@ -83,6 +87,7 @@ def main():
 
     print(json.dumps({
         "metric": "multipattern_serving",
+        "encryption": "real" if real else "trivial",
         "multivalue": mv,
         "patterns": P, "batch": C, "content_len": L,
         "joint_pbs": joint_pbs, "separate_pbs": sep_pbs,

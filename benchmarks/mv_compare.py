@@ -21,7 +21,8 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
     import jax
-    from fhe_regex_tpu import decrypt, has_match, get_params, trivial_encrypt_str
+    from fhe_regex_tpu import (decrypt, encrypt_str, has_match, get_params,
+                               trivial_encrypt_str)
     from fhe_regex_tpu.regex.engine import compile_match
     from fhe_regex_tpu.regex.executor import compile_circuit, default_min_bucket
     from bench import _get_keys
@@ -38,7 +39,9 @@ def main():
          "cdqrstuv" + "x" * 55 + "e", 1),
     ]
     for name, pattern, content, want in cases:
-        ct = trivial_encrypt_str(params, content)
+        real = os.environ.get("BENCH_ENC", "trivial") == "real"
+        ct = (encrypt_str(ck, content) if real
+              else trivial_encrypt_str(params, content))
         builder, root = compile_match(len(content), pattern, fold="tree")
         stats = {}
         for mv in (False, True):

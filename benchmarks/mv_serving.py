@@ -28,7 +28,8 @@ def main():
                           str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
     import jax
     import numpy as np
-    from fhe_regex_tpu import decrypt, has_match_many, trivial_encrypt_str, get_params
+    from fhe_regex_tpu import (decrypt, encrypt_str, has_match_many,
+                               trivial_encrypt_str, get_params)
     from fhe_regex_tpu.regex.engine import compile_match
     from fhe_regex_tpu.regex.executor import compile_circuit
     from bench import _get_keys
@@ -47,12 +48,16 @@ def main():
         if i % 2:
             s[flip] = "q"       # break the match on odd contents
         contents.append("".join(s))
-    cts = np.stack([trivial_encrypt_str(params, c) for c in contents])
+    real = os.environ.get("BENCH_ENC", "trivial") == "real"
+    enc = (lambda c: encrypt_str(ck, c)) if real \
+        else (lambda c: trivial_encrypt_str(params, c))
+    cts = np.stack([enc(c) for c in contents])
     want = [1 if i % 2 == 0 else 0 for i in range(C)]
 
     builder, root = compile_match(len(base), pattern, fold="tree")
     mv_c = compile_circuit(params, builder, root, multivalue=True)
     stats = {"pattern": pattern, "batch": C, "content_len": len(base),
+             "encryption": "real" if real else "trivial",
              "bootstraps": mv_c.pbs_count, "rotations": mv_c.rotation_count}
 
     for mv in (False, True):

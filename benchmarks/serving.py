@@ -21,7 +21,8 @@ def main():
                           str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
     import jax
     import numpy as np
-    from fhe_regex_tpu import decrypt, has_match_many, trivial_encrypt_str
+    from fhe_regex_tpu import (decrypt, encrypt_str, has_match_many,
+                               trivial_encrypt_str)
     from fhe_regex_tpu.params import TPU_MESSAGE_2_CARRY_2, TEST_PARAMS
     from bench import _get_keys
 
@@ -38,7 +39,10 @@ def main():
         if i % 2:  # half the batch should not match
             base[6] = "q"
         contents.append("".join(base))
-    cts = np.stack([trivial_encrypt_str(params, c) for c in contents])
+    real = os.environ.get("BENCH_ENC", "trivial") == "real"
+    enc = (lambda c: encrypt_str(ck, c)) if real \
+        else (lambda c: trivial_encrypt_str(params, c))
+    cts = np.stack([enc(c) for c in contents])
 
     t0 = time.time()
     res = has_match_many(sk, cts, pattern)
@@ -54,6 +58,7 @@ def main():
 
     print(json.dumps({
         "metric": "serving_throughput",
+        "encryption": "real" if real else "trivial",
         "pattern": pattern, "batch": C,
         "first_s": round(warm, 2),
         "steady_s": round(dt, 2),

@@ -184,9 +184,9 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
         builder, root = compile_match(contents.shape[1], pattern,
                                       num_blocks=params.num_blocks, fold=fold,
                                       branch_budget=branch_budget)
-    circuit = compile_circuit(params, builder, root,
-                              multivalue=_resolve_multivalue(
-                                  multivalue, params, None))
+    circuit = _compile_auto_mv(params, builder, root,
+                               _resolve_multivalue(multivalue, params, None,
+                                                   packed=True))
     executor = _executor_for(server_key, backend)
     result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(
@@ -197,20 +197,66 @@ def has_match_many(server_key: ServerKey, ct_contents, pattern: str,
 
 
 def _resolve_multivalue(multivalue: Optional[bool], params: Params,
-                        mesh) -> bool:
-    """multivalue default: FHE_REGEX_MULTIVALUE env (off unless '1').
+                        mesh, packed: bool = False) -> Optional[bool]:
+    """multivalue default: explicit arg > FHE_REGEX_MULTIVALUE env > auto.
 
     The multi-value plan (ops/mv.py) shares blind rotations between ops
     with identical inputs — fewer rotations, identical decrypted results,
     and the noise margin holds at both torus widths (blind-rotation noise
     is the only amplified term; tests/test_multivalue.py).  Sharded under
-    a mesh via parallel/mesh.make_sharded_mv_core."""
+    a mesh via parallel/mesh.make_sharded_mv_core.
+
+    On the PACKED serving paths (run_many: levels packed across contents)
+    wall time is proportional to the ROTATION count, so multivalue is
+    AUTO-enabled there when the compiled circuit's rotation savings clear
+    ``MV_AUTO_MIN_SAVINGS`` and the sigma-margin check passes (returns
+    None = "decide from the compiled circuit", see _compile_auto_mv).
+    Single-content latency is ~neutral under multivalue (padded rotation
+    rows cost the same as real ones at executor widths) and each fresh
+    process pays extra executable-shape loads for the mv level functions,
+    so non-packed paths stay classic unless opted in."""
     import os
 
     del params, mesh   # supported at both widths and under a mesh
-    if multivalue is None:
-        multivalue = os.environ.get("FHE_REGEX_MULTIVALUE") == "1"
-    return bool(multivalue)
+    if multivalue is not None:
+        return bool(multivalue)
+    env = os.environ.get("FHE_REGEX_MULTIVALUE")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return None if packed else False
+
+
+# Minimum fraction of blind rotations a compiled circuit must save for the
+# packed serving paths to auto-enable the multi-value plan (measured: 21%
+# saved => 1.28x serving, 42% => 1.58x; below ~15% the executable-shape
+# loads aren't worth it).  Env override: FHE_REGEX_MV_MIN_SAVINGS.
+MV_AUTO_MIN_SAVINGS = 0.15
+
+
+def _compile_auto_mv(params: Params, builder, roots, multivalue, **kw):
+    """compile_circuit with the packed-path multivalue auto-default.
+
+    multivalue True/False compiles that plan directly.  None ("auto")
+    compiles the multi-value plan first and keeps it when the rotation
+    savings clear MV_AUTO_MIN_SAVINGS; otherwise (including when a LUT
+    factor fails the >=5 sigma margin check) compiles classic."""
+    import os
+
+    if multivalue is not None:
+        return compile_circuit(params, builder, roots, multivalue=multivalue,
+                               **kw)
+    try:
+        mv_c = compile_circuit(params, builder, roots, multivalue=True, **kw)
+    except ValueError:
+        return compile_circuit(params, builder, roots, multivalue=False, **kw)
+    threshold = float(os.environ.get("FHE_REGEX_MV_MIN_SAVINGS",
+                                     str(MV_AUTO_MIN_SAVINGS)))
+    pbs = mv_c.pbs_count
+    if pbs and (1.0 - mv_c.rotation_count / pbs) >= threshold:
+        return mv_c
+    return compile_circuit(params, builder, roots, multivalue=False, **kw)
 
 
 def executor_for(server_key: ServerKey, backend: Optional[str] = None,
@@ -381,9 +427,9 @@ def has_match_many_patterns(server_key: ServerKey, ct_contents, patterns,
         raise ValueError("expected [C, len, num_blocks, n+1] contents")
     builder, roots = _compile_multi(params, contents.shape[1], patterns,
                                     fold, engine, branch_budget)
-    circuit = compile_circuit(params, builder, roots,
-                              multivalue=_resolve_multivalue(
-                                  multivalue, params, None))
+    circuit = _compile_auto_mv(params, builder, roots,
+                               _resolve_multivalue(multivalue, params, None,
+                                                   packed=True))
     executor = _executor_for(server_key, backend)
     result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(
@@ -413,9 +459,9 @@ def has_match_many_positions(server_key: ServerKey, ct_contents,
         raise ValueError("expected [C, len, num_blocks, n+1] contents")
     builder, roots = _compile_positions(params, contents.shape[1], pattern,
                                         fold, engine, branch_budget)
-    circuit = compile_circuit(params, builder, roots,
-                              multivalue=_resolve_multivalue(
-                                  multivalue, params, None))
+    circuit = _compile_auto_mv(params, builder, roots,
+                               _resolve_multivalue(multivalue, params, None,
+                                                   packed=True))
     executor = _executor_for(server_key, backend)
     result = executor.run_many(circuit, contents, wide_batch=wide_batch)
     logger.info(

@@ -31,7 +31,7 @@ class CompiledPattern:
                  min_bucket: Optional[int] = None, fold: str = "tree",
                  engine: Optional[str] = None,
                  branch_budget: Optional[int] = None,
-                 multivalue: bool = False):
+                 multivalue: Optional[bool] = False):
         self.pattern = pattern
         self.params = params or get_params()
         self.min_bucket = min_bucket
@@ -64,13 +64,16 @@ class CompiledPattern:
 
     def circuit(self, content_len: int) -> CompiledCircuit:
         if content_len not in self._circuits:
+            from fhe_regex_tpu import _compile_auto_mv
             from fhe_regex_tpu.regex.executor import default_min_bucket
 
             builder, root = self._compile(content_len)
-            self._circuits[content_len] = compile_circuit(
-                self.params, builder, root,
-                min_bucket=self.min_bucket or default_min_bucket(),
-                multivalue=self.multivalue)
+            # multivalue None = auto: keep the shared-rotation plan when
+            # its rotation savings clear the serving threshold (served
+            # programs are long-lived, so the mv executable loads amortize)
+            self._circuits[content_len] = _compile_auto_mv(
+                self.params, builder, root, self.multivalue,
+                min_bucket=self.min_bucket or default_min_bucket())
         return self._circuits[content_len]
 
     def match(self, executor, ct_content: np.ndarray) -> np.ndarray:

@@ -194,11 +194,29 @@ class Params:
 TPU_MESSAGE_2_CARRY_2 = Params(name="TPU_MESSAGE_2_CARRY_2")
 
 # The reference's 64-bit set — executable on device via the jnp64/pallas64
-# backends (ops/pbs64.py, ops/pbs_pallas.py).  CAVEAT: under this engine's
-# worst-case linear combine (x + 2y + 4z of PBS outputs) its analytic LUT
-# margin is only ~2.0 sigma (keyswitch noise dominates: tfhe-rs 0.2 accepted
-# ~1e-2 worst-case per-op error here).  Use it for parity/benchmarking;
-# production 64-bit serving should use TPU64_MESSAGE_2_CARRY_2 below.
+# backends (ops/pbs64.py, ops/pbs_pallas.py).
+#
+# CAVEAT (why this set cannot be made >=5-sigma safe by ANY op lowering):
+# its keyswitch-KEY noise dominates every stored ciphertext:
+# std_keyswitch = 2^54.77 vs the LUT decision margin delta/2 = 2^58.
+# That term is a property of the parameter point (n=742, sigma/q=2^-17.1,
+# ks base 2^3 level 5), independent of how ops combine ciphertexts:
+#   - a BARE PBS output entering the next PBS:          7.3 sigma
+#   - tfhe-rs 0.2's own bivariate smart op (4*lhs+rhs,
+#     17x var_ct — the minimum any 2-input op pays):    2.1 sigma
+#   - this engine's x+2y combine (5x var_ct):           3.9 sigma
+#   - this engine's worst combine x+2y+4z (21x var_ct): 2.0 sigma
+# So even restricting the engine to the reference's exact carry-managed
+# bivariate lowering leaves ~2.1 sigma (~3% worst-case per-op error):
+# tfhe-rs 0.2 simply accepted that failure rate (its params predate the
+# p_fail<2^-40 era).  This engine's combines are therefore NOT the gap —
+# the parameter point is.  Numbers from noise_budget_report(); pinned by
+# tests/test_torus64.py::test_ref64_margin_is_parameter_bound.
+#
+# Use this set for parity/benchmarking (trivial or measured-risk runs);
+# the STATED 64-bit production contract is TPU64_MESSAGE_2_CARRY_2 below
+# (same algebraic shape, >=5-sigma margin under real encryption —
+# validated on hardware, docs/BENCHMARKS.md "real encryption" tables).
 REF_MESSAGE_2_CARRY_2_64 = Params(
     name="REF_MESSAGE_2_CARRY_2_64",
     torus_bits=64,

@@ -114,7 +114,7 @@ class MatchService:
             }
 
     def _program(self, pattern, fold: str, branch_budget,
-                 multivalue: bool = False, positions: bool = False):
+                 multivalue=None, positions: bool = False):
         """pattern: one str -> CompiledPattern; list of str ->
         CompiledPatternSet (one shared multi-root circuit); positions=True
         -> CompiledPositions (one encrypted bit per start offset)."""
@@ -137,7 +137,7 @@ class MatchService:
             return self._programs[key]
 
     def compile(self, pattern, content_len: int, fold: str = "tree",
-                branch_budget=None, multivalue: bool = False,
+                branch_budget=None, multivalue=None,
                 positions: bool = False) -> dict:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
@@ -145,7 +145,7 @@ class MatchService:
             return prog.stats(content_len)
 
     def match(self, pattern, ct: np.ndarray, fold: str = "tree",
-              branch_budget=None, multivalue: bool = False,
+              branch_budget=None, multivalue=None,
               positions: bool = False, profile: bool = False) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
@@ -165,7 +165,7 @@ class MatchService:
         return out
 
     def match_many(self, pattern, cts: np.ndarray, fold: str = "tree",
-                   branch_budget=None, multivalue: bool = False,
+                   branch_budget=None, multivalue=None,
                    positions: bool = False) -> np.ndarray:
         prog = self._program(pattern, fold, branch_budget, multivalue,
                              positions)
@@ -188,7 +188,7 @@ class MatchService:
 
     def match_long(self, pattern: str, ct: np.ndarray, window=None,
                    fold: str = "tree", branch_budget=None,
-                   multivalue: bool = False) -> np.ndarray:
+                   multivalue=None) -> np.ndarray:
         """Windowed long-content match (has_match_long) with the window
         circuit cached like any other program (one shape per window size)."""
         from fhe_regex_tpu import has_match_long
@@ -243,7 +243,11 @@ def make_handler(service: MatchService):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 fold = req.get("fold", "tree")
                 budget = req.get("branch_budget")
-                mv = bool(req.get("multivalue", False))
+                # multivalue: true/false forces the plan; absent/null = auto
+                # (keep the shared-rotation plan when its rotation savings
+                # clear the serving threshold — fhe_regex_tpu.MV_AUTO_MIN_SAVINGS)
+                mv = req.get("multivalue")
+                mv = None if mv is None else bool(mv)
                 pos = bool(req.get("positions", False))
                 # "pattern": one str; "patterns": list -> one shared
                 # multi-root circuit, result gains a leading P axis;

@@ -283,6 +283,63 @@ def test_run_many_multivalue_multiroot(keys):
         == [[decrypt(ck, ref[c, p]) for p in range(3)] for c in range(3)]
 
 
+def test_mv_auto_default_resolution(monkeypatch):
+    """Packed paths default to auto (None); env and explicit args override."""
+    from fhe_regex_tpu import _resolve_multivalue
+
+    monkeypatch.delenv("FHE_REGEX_MULTIVALUE", raising=False)
+    assert _resolve_multivalue(None, TEST_PARAMS, None, packed=True) is None
+    assert _resolve_multivalue(None, TEST_PARAMS, None, packed=False) is False
+    assert _resolve_multivalue(True, TEST_PARAMS, None, packed=False) is True
+    assert _resolve_multivalue(False, TEST_PARAMS, None, packed=True) is False
+    monkeypatch.setenv("FHE_REGEX_MULTIVALUE", "1")
+    assert _resolve_multivalue(None, TEST_PARAMS, None, packed=False) is True
+    monkeypatch.setenv("FHE_REGEX_MULTIVALUE", "0")
+    assert _resolve_multivalue(None, TEST_PARAMS, None, packed=True) is False
+
+
+def test_mv_auto_default_compile(monkeypatch):
+    """auto keeps the shared-rotation plan iff the savings clear the
+    threshold (and never when a margin check fails)."""
+    from fhe_regex_tpu import MV_AUTO_MIN_SAVINGS, _compile_auto_mv
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import compile_circuit
+
+    monkeypatch.delenv("FHE_REGEX_MV_MIN_SAVINGS", raising=False)
+    for pattern, L in [("/^[a-d][^xyz]$/i", 2), ("/^abc$/", 3),
+                       ("/abc/", 8), ("/^(ab|cd)[a-z]{3,}e?$/i", 16)]:
+        builder, root = compile_match(L, pattern, fold="tree")
+        mv_c = compile_circuit(TEST_PARAMS, builder, root, multivalue=True)
+        savings = 1.0 - mv_c.rotation_count / mv_c.pbs_count
+        decided = _compile_auto_mv(TEST_PARAMS, builder, root, None)
+        assert decided.multivalue == (savings >= MV_AUTO_MIN_SAVINGS), \
+            (pattern, savings)
+        # explicit always wins over auto
+        assert _compile_auto_mv(TEST_PARAMS, builder, root, False).multivalue \
+            is False
+        assert _compile_auto_mv(TEST_PARAMS, builder, root, True).multivalue \
+            is True
+    # the class pattern must actually exercise the mv branch of auto
+    builder, root = compile_match(2, "/^[a-d][^xyz]$/i", fold="tree")
+    assert _compile_auto_mv(TEST_PARAMS, builder, root, None).multivalue
+
+
+def test_mv_auto_default_run_many(keys, monkeypatch):
+    """has_match_many with no multivalue arg (the new serving default)
+    decrypts identically to the forced-classic run."""
+    from fhe_regex_tpu import decrypt, has_match_many, trivial_encrypt_str
+
+    monkeypatch.delenv("FHE_REGEX_MULTIVALUE", raising=False)
+    ck, sk = keys
+    contents = ["bq", "xq", "dd", "aq"]
+    cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
+    auto = has_match_many(sk, cts, "/^[a-d][^xyz]$/i", backend="jnp")
+    classic = has_match_many(sk, cts, "/^[a-d][^xyz]$/i", backend="jnp",
+                             multivalue=False)
+    assert [decrypt(ck, auto[i]) for i in range(4)] \
+        == [decrypt(ck, classic[i]) for i in range(4)] == [1, 0, 1, 0]
+
+
 def test_mv_output_noise_matches_model(noisy_keys):
     """Empirical phase-error std of multi-value outputs stays within the
     analytic model: var_out ~= ||u||^2 * var_br + var_ks (the blind-rotation
