@@ -260,6 +260,29 @@ def prepare_server_key(params: Params, server_key,
             stack_rows=bool(stack_rows),
             bank_split=bool(bank_split),
         )
+    if backend == "fft":
+        import os
+        from fhe_regex_tpu.ops import pbs_fft
+        from fhe_regex_tpu.ops import pbs_pallas as pp
+        # O(N log N) external products via split-complex f32 FFT
+        # (ops/pbs_fft.py).  Plan '8' is exact-after-rounding; 'mixed'
+        # (16,8,8) adds a bounded ~2^10 noise term (documented + asserted
+        # in the budget) and saves 2 inverse transforms per step.
+        plan = pbs_fft.resolve_plan(
+            os.environ.get("FHE_REGEX_FFT_LIMBS", "mixed"))
+        transform = os.environ.get(
+            "FHE_REGEX_FFT_TRANSFORM",
+            "matmul" if jax.default_backend() == "tpu" else "xla")
+        return DeviceServerKey(
+            params, backend,
+            bsk_spec=jnp.asarray(
+                pbs_fft.prepare_bsk_fft(params, server_key.bsk,
+                                        plan, transform)),
+            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
+            .astype(jnp.bfloat16),
+            plan=plan,
+            transform=transform,
+        )
     if backend == "jnp64":
         # 64-bit torus (the reference width, SURVEY.md N1) as int32 limb
         # pairs; requires a 64-bit parameter set
@@ -318,6 +341,14 @@ def make_pbs_fn(dev_key: DeviceServerKey):
                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
                                    stack, split, cts)
         return fn
+    if dev_key.backend == "fft":
+        from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft
+
+        def fn(luts, lut_idx, cts):
+            return pbs_batch_fft(params, dev_key.bsk_spec, dev_key.ksk_limbs,
+                                 luts, lut_idx, dev_key.plan,
+                                 dev_key.transform, cts)
+        return fn
     if dev_key.backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64
 
@@ -354,6 +385,7 @@ def key_arrays(dev_key: DeviceServerKey) -> tuple:
         "jnp": ("bsk", "ksk"),
         "pallas": ("bsk_quad", "ksk_limbs"),
         "pallas-fused": ("bsk_fused", "ksk_limbs"),
+        "fft": ("bsk_spec", "ksk_limbs"),
         "jnp64": ("bsk8", "ksk8"),
         "pallas64": ("bsk8f", "ksk8"),
     }[dev_key.backend]
@@ -387,6 +419,15 @@ def make_pbs_core(dev_key: DeviceServerKey):
             return pbs_batch_fused(params, key[0], key[1], luts, lut_idx,
                                    dev_key.matmul_dtype, limbs, stack, split,
                                    cts)
+        return core
+    if backend == "fft":
+        from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft
+        plan = dev_key.plan
+        transform = dev_key.transform
+
+        def core(key, luts, lut_idx, cts):
+            return pbs_batch_fft(params, key[0], key[1], luts, lut_idx,
+                                 plan, transform, cts)
         return core
     if backend == "jnp64":
         from fhe_regex_tpu.ops import pbs64

@@ -126,7 +126,32 @@ class Params:
 
     # ---------------- noise budget model ----------------
 
-    def noise_budget_report(self, mv_norm2: "int | None" = None) -> dict:
+    def fft_noise_std(self, plan: tuple) -> float:
+        """Accumulated FFT-backend error std over a full blind rotation
+        (torus units), for a limb plan (low-to-high bit widths; see
+        ops/pbs_fft.py).
+
+        Per-row-conv f32 pipeline error std, measured at N=2048 with
+        full-magnitude limbs: ~10 for 16-bit limbs (worst 48 over 300+
+        trials incl. adversarial digits), scaling with limb magnitude
+        (2^(bits-16)) and ~linearly with N (conservative).  Limbs of <= 8
+        bits round exactly (measured worst 0.25 < 0.5) and contribute
+        zero.  Each noisy limb adds sigma_eps * 2^weight per output
+        coefficient per CMUX step; n steps x (k+1)l rows accumulate as a
+        sqrt.
+        """
+        n, N = self.lwe_dimension, self.polynomial_size
+        rows = (self.glwe_dimension + 1) * self.pbs_level
+        var, w = 0.0, 0
+        for bits in plan:
+            if bits > 8:
+                sigma_eps = 10.0 * (2.0 ** (bits - 16)) * (N / 2048.0)
+                var += n * rows * (sigma_eps * (2.0 ** w)) ** 2
+            w += bits
+        return math.sqrt(var)
+
+    def noise_budget_report(self, mv_norm2: "int | None" = None,
+                            fft_plan: "tuple | None" = None) -> dict:
         """Analytic per-PBS noise estimate (variances in torus^2 units).
 
         Mirrors the standard TFHE noise formulas; used by tests to assert the
@@ -153,6 +178,8 @@ class Params:
         eps_dec = q / (2.0 * (B ** l))                 # gadget remainder
         var_dec = n * (1 + k * N) * (eps_dec ** 2) / 12.0
         var_br = var_bsk + var_dec
+        if fft_plan is not None:       # FFT-backend rounding envelope
+            var_br += self.fft_noise_std(tuple(fft_plan)) ** 2
 
         # Keyswitch kN -> n
         eps_ks = q / (2.0 * (Bks ** lks))
