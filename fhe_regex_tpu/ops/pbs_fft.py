@@ -164,7 +164,13 @@ def resolve_plan(plan) -> tuple:
 def prepare_bsk_fft(params: Params, bsk: np.ndarray, plan="mixed",
                     transform: str = "matmul") -> np.ndarray:
     """bsk [n, (k+1)l, k+1, N] uint32 -> spectral key
-    [n, (k+1)l, k+1, L, M] complex64 (f64 host FFT, rounded once to c64).
+    [n, (k+1)l, k+1, L, 2, M] float32 — (re, im) stacked on axis -2.
+
+    The key (and everything else on device) is SPLIT-REAL f32, never
+    complex64: the axon relay's host<->device transfer of complex64 is
+    UNIMPLEMENTED (observed at batched_device_put), and split-real also
+    gives explicit control of every matmul's precision.  (f64 host FFT,
+    rounded once to f32.)
 
     Row order along axis 1 is (component, level) with the most-significant
     gadget digit first — the exact layout blind_rotate_fft's digit
@@ -187,8 +193,9 @@ def prepare_bsk_fft(params: Params, bsk: np.ndarray, plan="mixed",
     if transform == "matmul":
         M1, M2 = _split_factors(spec.shape[-1])
         spec = _scramble(spec, M1, M2)
-    return np.ascontiguousarray(
-        np.moveaxis(spec, 0, 3).astype(np.complex64))    # [n, rows, k1, L, M]
+    spec = np.moveaxis(spec, 0, 3)                       # [n, rows, k1, L, M]
+    ri = np.stack([spec.real, spec.imag], axis=-2)       # [..., L, 2, M]
+    return np.ascontiguousarray(ri.astype(np.float32))
 
 
 # ---------------- device transforms ----------------
@@ -196,10 +203,10 @@ def prepare_bsk_fft(params: Params, bsk: np.ndarray, plan="mixed",
 
 @functools.lru_cache(maxsize=None)
 def _four_step_consts(M: int, inverse: bool):
-    # Returned as NUMPY so traced callers embed them as HLO literals:
-    # closing over complex64 DEVICE arrays makes XLA fetch them host-side
-    # for constant folding, which the axon TPU backend cannot (observed
-    # UNIMPLEMENTED) — and a literal is free anyway (a few KB).
+    # Returned as NUMPY f32 (re, im) pairs so traced callers embed them as
+    # HLO literals.  Everything stays split-real f32: complex64 is
+    # unsupported at the axon transfer boundary, and a device-array
+    # closure would need a host fetch for constant folding anyway.
     M1, M2 = _split_factors(M)
     sgn = 2j if inverse else -2j
     j1 = np.arange(M1)
@@ -207,52 +214,87 @@ def _four_step_consts(M: int, inverse: bool):
     F1 = np.exp(sgn * np.pi * np.outer(j1, j1) / M1)
     F2 = np.exp(sgn * np.pi * np.outer(j2, j2) / M2)
     T = np.exp(sgn * np.pi * np.outer(j1, j2) / M)
-    return (F1.astype(np.complex64), T.astype(np.complex64),
-            F2.astype(np.complex64))
+
+    def ri(z):
+        return z.real.astype(np.float32), z.imag.astype(np.float32)
+    return ri(F1), ri(T), ri(F2)
 
 
-def _fft_fwd(u: jax.Array, transform: str) -> jax.Array:
-    """[..., M] complex64 -> [..., M] complex64 spectrum (scrambled order
+def _cdot(xr, xi, F, sub: str, prec="highest"):
+    """Complex matmul on split-real operands: 4 real einsums."""
+    Fr, Fi = F
+    yr = (jnp.einsum(sub, xr, Fr, precision=prec)
+          - jnp.einsum(sub, xi, Fi, precision=prec))
+    yi = (jnp.einsum(sub, xr, Fi, precision=prec)
+          + jnp.einsum(sub, xi, Fr, precision=prec))
+    return yr, yi
+
+
+def _fft_fwd(ur, ui, transform: str):
+    """[..., M] split-real -> [..., M] split-real spectrum (scrambled order
     for 'matmul', natural for 'xla')."""
     if transform == "xla":
-        return jnp.fft.fft(u, axis=-1)
-    M = u.shape[-1]
+        c = jnp.fft.fft(jax.lax.complex(ur, ui), axis=-1)
+        return jnp.real(c), jnp.imag(c)
+    M = ur.shape[-1]
     M1, M2 = _split_factors(M)
     F1, T, F2 = _four_step_consts(M, inverse=False)
-    lead = u.shape[:-1]
-    x = u.reshape((-1, M1, M2))
-    y = jnp.einsum("bjm,jk->bkm", x, F1, precision="highest")
-    y = y * T[None]
-    y = jnp.einsum("bkm,ml->bkl", y, F2, precision="highest")
-    return y.reshape(lead + (M,))
+    lead = ur.shape[:-1]
+    xr = ur.reshape((-1, M1, M2))
+    xi = ui.reshape((-1, M1, M2))
+    yr, yi = _cdot(xr, xi, F1, "bjm,jk->bkm")
+    Tr, Ti = T
+    zr = yr * Tr[None] - yi * Ti[None]
+    zi = yr * Ti[None] + yi * Tr[None]
+    wr, wi = _cdot(zr, zi, F2, "bkm,ml->bkl")
+    return wr.reshape(lead + (M,)), wi.reshape(lead + (M,))
 
 
-def _fft_inv(c: jax.Array, transform: str) -> jax.Array:
-    """[..., M] complex64 spectrum -> [..., M] complex64 values (/M)."""
+def _fft_inv(cr, ci, transform: str):
+    """[..., M] split-real spectrum -> [..., M] split-real values (/M)."""
     if transform == "xla":
-        return jnp.fft.ifft(c, axis=-1)
-    M = c.shape[-1]
+        v = jnp.fft.ifft(jax.lax.complex(cr, ci), axis=-1)
+        return jnp.real(v), jnp.imag(v)
+    M = cr.shape[-1]
     M1, M2 = _split_factors(M)
     F1, T, F2 = _four_step_consts(M, inverse=True)
-    lead = c.shape[:-1]
-    x = c.reshape((-1, M1, M2))
-    y = jnp.einsum("bkl,lm->bkm", x, F2, precision="highest")
-    y = y * T[None]
-    y = jnp.einsum("bkm,kj->bjm", y, F1, precision="highest")
-    return y.reshape(lead + (M,)) * (1.0 / M)
+    lead = cr.shape[:-1]
+    xr = cr.reshape((-1, M1, M2))
+    xi = ci.reshape((-1, M1, M2))
+    yr, yi = _cdot(xr, xi, F2, "bkl,lm->bkm")
+    Tr, Ti = T
+    zr = yr * Tr[None] - yi * Ti[None]
+    zi = yr * Ti[None] + yi * Tr[None]
+    wr, wi = _cdot(zr, zi, F1, "bkm,kj->bjm")
+    s = jnp.float32(1.0 / M)
+    return wr.reshape(lead + (M,)) * s, wi.reshape(lead + (M,)) * s
 
 
-def _fwd_real(d: jax.Array, twist: jax.Array, transform: str) -> jax.Array:
-    """[..., N] real digit polys -> [..., M] complex64 spectra."""
-    M = twist.shape[0]
-    u = (d[..., :M] + 1j * d[..., M:].astype(jnp.float32)) * twist
-    return _fft_fwd(u.astype(C64), transform)
+def _fwd_real(d: jax.Array, transform: str):
+    """[..., N] real digit polys -> ([..., M], [..., M]) split-real
+    spectra (twist e^{+i pi j/N} applied)."""
+    N = d.shape[-1]
+    M = N // 2
+    tw = _twist(N)
+    twr = tw.real.astype(np.float32)
+    twi = tw.imag.astype(np.float32)
+    a = d[..., :M].astype(jnp.float32)
+    b = d[..., M:].astype(jnp.float32)
+    ur = a * twr - b * twi
+    ui = a * twi + b * twr
+    return _fft_fwd(ur, ui, transform)
 
 
-def _inv_real(c: jax.Array, twist: jax.Array, transform: str) -> jax.Array:
-    """[..., M] complex64 spectra -> [..., N] f32 coefficient values."""
-    v = _fft_inv(c, transform) * jnp.conj(twist)
-    return jnp.concatenate([jnp.real(v), jnp.imag(v)], axis=-1)
+def _inv_real(cr, ci, transform: str) -> jax.Array:
+    """split-real spectra -> [..., N] f32 coefficient values (untwisted)."""
+    vr, vi = _fft_inv(cr, ci, transform)
+    M = vr.shape[-1]
+    tw = _twist(2 * M)
+    twr = tw.real.astype(np.float32)
+    twi = tw.imag.astype(np.float32)
+    outr = vr * twr + vi * twi           # Re(v * conj(t))
+    outi = vi * twr - vr * twi           # Im(v * conj(t))
+    return jnp.concatenate([outr, outi], axis=-1)
 
 
 def _round_mod32(x: jax.Array, needs_fold: bool) -> jax.Array:
@@ -273,7 +315,6 @@ def blind_rotate_fft(params: Params, bsk_spec: jax.Array, luts: jax.Array,
     k, N, n, l = (params.glwe_dimension, params.polynomial_size,
                   params.lwe_dimension, params.pbs_level)
     B = cts_ms.shape[0]
-    twist = jnp.asarray(_twist(N).astype(np.complex64))
 
     lut = luts[lut_idx]                                          # [B, N]
     acc0 = jnp.zeros((B, k + 1, N), dtype=I32)
@@ -287,15 +328,21 @@ def blind_rotate_fft(params: Params, bsk_spec: jax.Array, luts: jax.Array,
     folds = tuple(5 + bits + lgN >= 31 for bits in plan)
 
     def step(acc, xs):
-        a_i, kspec_i = xs                 # [B], [rows, k+1, L, M] c64
+        a_i, kspec_i = xs            # [B], [rows, k+1, L, 2, M] f32
         rotated = negacyclic_rotate_batch(acc, a_i)
         diff = rotated - acc
         digits = decompose(diff, params.pbs_base_log, l)   # [l, B, k+1, N]
         d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, (k + 1) * l, N)
-        dspec = _fwd_real(d.astype(jnp.float32), twist, transform)
+        dr, di = _fwd_real(d, transform)                   # [B, rows, M] x2
         # pointwise spectral contraction over the decomposition rows
-        prod = jnp.einsum("brm,rclm->bclm", dspec, kspec_i)  # [B,k+1,L,M]
-        vals = _inv_real(prod, twist, transform)             # [B,k+1,L,N]
+        # (split-real complex multiply-accumulate; runs on the VPU)
+        kr = kspec_i[:, :, :, 0, :]
+        ki = kspec_i[:, :, :, 1, :]
+        pr = (jnp.einsum("brm,rclm->bclm", dr, kr)
+              - jnp.einsum("brm,rclm->bclm", di, ki))      # [B,k+1,L,M]
+        pi = (jnp.einsum("brm,rclm->bclm", dr, ki)
+              + jnp.einsum("brm,rclm->bclm", di, kr))
+        vals = _inv_real(pr, pi, transform)                # [B,k+1,L,N]
         out = None
         for lb in range(len(plan)):
             part = _round_mod32(vals[:, :, lb, :], folds[lb]) << shifts[lb]

@@ -32,6 +32,28 @@ def test_sharded_pbs_matches_unsharded(keys):
     assert np.array_equal(np.asarray(ref), np.asarray(shd))
 
 
+def test_sharded_pbs_fft_backend(noisy_keys):
+    """FFT-formulation PBS under shard_map on the 8-device mesh, exact plan
+    — must equal the unsharded jnp reference bit-for-bit."""
+    P = TEST_PARAMS_NOISY
+    ck, sk = noisy_keys
+    import os
+    os.environ["FHE_REGEX_FFT_LIMBS"] = "8"
+    try:
+        dev_fft = prepare_server_key(P, sk, "fft")
+    finally:
+        del os.environ["FHE_REGEX_FFT_LIMBS"]
+    mesh = make_mesh(8)
+    B = 16
+    cts = np.stack([lwe.encrypt_lwe(P, ck.lwe_key, i % 16, ck.rng) for i in range(B)])
+    luts = jnp.asarray(make_lut_poly(P, lambda x: (x * 3) % 16)[None].view(np.int32))
+    idx = jnp.zeros(B, jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    ref = make_pbs_fn(prepare_server_key(P, sk, "jnp"))(luts, idx, ctsj)
+    shd = make_sharded_pbs_fn(dev_fft, mesh)(luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(shd))
+
+
 def test_has_match_on_mesh(keys):
     from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
     P = TEST_PARAMS

@@ -49,14 +49,16 @@ def test_negacyclic_fft_host_exact():
 
 def test_scramble_matches_four_step_order():
     """Host natural->scrambled reorder == the device four-step output order."""
-    import jax
     rng = np.random.default_rng(2)
     M = 128
-    x = (rng.standard_normal(M) + 1j * rng.standard_normal(M)).astype(np.complex64)
-    nat = np.fft.fft(x)
+    xr = rng.standard_normal(M).astype(np.float32)
+    xi = rng.standard_normal(M).astype(np.float32)
+    nat = np.fft.fft(xr + 1j * xi)
     M1, M2 = pbs_fft._split_factors(M)
     scr = pbs_fft._scramble(nat[None], M1, M2)[0]
-    dev = np.asarray(pbs_fft._fft_fwd(jnp.asarray(x[None]), "matmul"))[0]
+    dr, di = pbs_fft._fft_fwd(jnp.asarray(xr[None]), jnp.asarray(xi[None]),
+                              "matmul")
+    dev = np.asarray(dr)[0] + 1j * np.asarray(di)[0]
     assert np.abs(dev - scr).max() / np.abs(nat).max() < 1e-4
 
 
