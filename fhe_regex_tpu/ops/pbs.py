@@ -210,7 +210,9 @@ def prepare_server_key(params: Params, server_key,
                        matmul_dtype=None,
                        drop_limbs: int = 0,
                        stack_rows: Optional[bool] = None,
-                       bank_split: Optional[bool] = None) -> DeviceServerKey:
+                       bank_split: Optional[bool] = None,
+                       fft_plan=None,
+                       fft_transform: Optional[str] = None) -> DeviceServerKey:
     """drop_limbs rounds the bootstrap key to skip its low 8-bit limbs — 25%
     fewer blind-rotation MACs per limb at a bounded extra-noise cost
     (flag-gated fast mode; see ops/pbs_pallas.prepare_bsk_pallas)."""
@@ -269,8 +271,9 @@ def prepare_server_key(params: Params, server_key,
         # (16,8,8) adds a bounded ~2^10 noise term (documented + asserted
         # in the budget) and saves 2 inverse transforms per step.
         plan = pbs_fft.resolve_plan(
-            os.environ.get("FHE_REGEX_FFT_LIMBS", "mixed"))
-        transform = os.environ.get(
+            fft_plan if fft_plan is not None
+            else os.environ.get("FHE_REGEX_FFT_LIMBS", "mixed"))
+        transform = fft_transform or os.environ.get(
             "FHE_REGEX_FFT_TRANSFORM",
             "matmul" if jax.default_backend() == "tpu" else "xla")
         return DeviceServerKey(

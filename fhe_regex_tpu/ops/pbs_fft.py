@@ -334,14 +334,18 @@ def blind_rotate_fft(params: Params, bsk_spec: jax.Array, luts: jax.Array,
         digits = decompose(diff, params.pbs_base_log, l)   # [l, B, k+1, N]
         d = jnp.transpose(digits, (1, 2, 0, 3)).reshape(B, (k + 1) * l, N)
         dr, di = _fwd_real(d, transform)                   # [B, rows, M] x2
-        # pointwise spectral contraction over the decomposition rows
-        # (split-real complex multiply-accumulate; runs on the VPU)
+        # pointwise spectral contraction over the decomposition rows.
+        # precision MUST be pinned: on TPU a default-precision f32 einsum
+        # lowers to single-pass bf16 on the MXU, and with spectral
+        # magnitudes ~2^20 that alone destroys the +-0.5 exact-rounding
+        # contract (r2 on-chip failure: 1732/1792 wrong, bench_fft.err).
         kr = kspec_i[:, :, :, 0, :]
         ki = kspec_i[:, :, :, 1, :]
-        pr = (jnp.einsum("brm,rclm->bclm", dr, kr)
-              - jnp.einsum("brm,rclm->bclm", di, ki))      # [B,k+1,L,M]
-        pi = (jnp.einsum("brm,rclm->bclm", dr, ki)
-              + jnp.einsum("brm,rclm->bclm", di, kr))
+        hi = jax.lax.Precision.HIGHEST
+        pr = (jnp.einsum("brm,rclm->bclm", dr, kr, precision=hi)
+              - jnp.einsum("brm,rclm->bclm", di, ki, precision=hi))
+        pi = (jnp.einsum("brm,rclm->bclm", dr, ki, precision=hi)
+              + jnp.einsum("brm,rclm->bclm", di, kr, precision=hi))
         vals = _inv_real(pr, pi, transform)                # [B,k+1,L,N]
         out = None
         for lb in range(len(plan)):

@@ -131,6 +131,75 @@ def test_budget_includes_fft_plan():
     assert P.noise_budget_report(fft_plan=(16, 16))["sigma_margin"] < 5.0
 
 
+def test_fft_production_geometry_n2048():
+    """FFT backend at the FULL production GLWE geometry (N=2048 -> M=1024,
+    four-step 32x32, l=3 decomposition) for BOTH limb plans, vs the exact
+    jnp path.  Only the CMUX step count n is shrunk (866 -> 16) to bound
+    CPU runtime — same derivation as tests/test_parallel.py's
+    TEST_PROD_SHAPE.  This is the only CPU test that reaches the
+    _round_mod32 fold branch (5 + 16 + log2(2048) >= 31), which never
+    triggers at the N=256 test shapes above."""
+    import dataclasses
+    from fhe_regex_tpu.params import TPU_MESSAGE_2_CARRY_2
+
+    P = dataclasses.replace(
+        TPU_MESSAGE_2_CARRY_2, name="TEST_PROD_SHAPE_FFT",
+        lwe_dimension=16, lwe_noise_std=0.0, glwe_noise_std=0.0)
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    ck, sk = gen_keys(P, seed=11)
+    f = lambda x: (x * 3 + 1) % 16
+    msgs = [0, 3, 6, 9, 12, 15, 5, 10]
+    cts = np.stack([lwe.encrypt_lwe(P, ck.lwe_key, m, ck.rng) for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(P, f)]).view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    ref = np.asarray(
+        make_pbs_fn(prepare_server_key(P, sk, "jnp"))(luts, idx, ctsj))
+    for plan in ("8", "mixed"):
+        got = np.asarray(make_pbs_fn(
+            prepare_server_key(P, sk, "fft", fft_plan=plan,
+                               fft_transform="matmul"))(luts, idx, ctsj))
+        o = got.view(np.uint32)
+        dec = [lwe.decrypt_lwe(P, ck.lwe_key, o[i]) for i in range(len(msgs))]
+        assert dec == [f(m) % 16 for m in msgs], (plan, dec)
+        if plan == "8":
+            assert np.array_equal(ref, got)
+
+
+def test_fft_lowering_pins_dot_precision():
+    """EVERY dot/einsum in the FFT PBS lowering must carry HIGHEST
+    precision: on TPU a default-precision f32 dot runs one bf16 MXU pass,
+    which with ~2^20 spectral magnitudes breaks the +-0.5 rounding
+    contract (the round-2 on-chip failure, bench_fft.err 1732/1792 wrong).
+    CPU tests compute true f32 and cannot catch it numerically, so pin it
+    at the HLO level."""
+    import re
+    import jax
+    from fhe_regex_tpu.params import TEST_PARAMS as P
+    from fhe_regex_tpu.ops import pbs_fft as pf
+
+    n, N = P.lwe_dimension, P.polynomial_size
+    k, l = P.glwe_dimension, P.pbs_level
+    B, M = 2, N // 2
+    plan = pf.resolve_plan("mixed")
+    L = len(plan)
+    bsk_spec = jnp.zeros((n, (k + 1) * l, k + 1, L, 2, M), jnp.float32)
+    ksk = jnp.zeros((4, k * N * P.ks_level, n + 1), jnp.int8)
+    luts = jnp.zeros((1, N), jnp.int32)
+    idx = jnp.zeros(B, jnp.int32)
+    cts = jnp.zeros((B, n + 1), jnp.int32)
+    txt = jax.jit(
+        pf.pbs_batch_fft, static_argnums=(0, 5, 6)
+    ).lower(P, bsk_spec, ksk, luts, idx, plan, "matmul", cts).as_text()
+    # flag any dot whose BOTH operands are f32 without pinned precision
+    # (bf16-operand dots like the keyswitch are exact by range analysis)
+    bad = [ln.strip() for ln in txt.splitlines()
+           if "dot_general" in ln
+           and re.search(r"\(tensor<[^)]*f32>,\s*tensor<[^)]*f32>\)", ln)
+           and not re.search(r"precision\s*=\s*\[HIGHEST", ln)]
+    assert not bad, "f32 dots without HIGHEST precision:\n" + "\n".join(bad)
+
+
 def test_fft16_decrypts_correctly(noisy_keys, monkeypatch):
     """16-bit limbs: not bit-exact (bounded FFT noise ~2^7/step) but must
     decrypt identically on noisy keys — the production mode."""
