@@ -244,15 +244,26 @@ def _compile_auto_mv(params: Params, builder, roots, multivalue, **kw):
     factor fails the >=5 sigma margin check) compiles classic."""
     import os
 
+    from fhe_regex_tpu.regex.executor import MvMarginError
+
     if multivalue is not None:
         return compile_circuit(params, builder, roots, multivalue=multivalue,
                                **kw)
     try:
         mv_c = compile_circuit(params, builder, roots, multivalue=True, **kw)
-    except ValueError:
+    except MvMarginError as e:
+        # the one *expected* rejection (a LUT factor under 5 sigma); any
+        # other error is a genuine bug and must propagate
+        logger.info("mv auto: falling back to classic plan (%s)", e)
         return compile_circuit(params, builder, roots, multivalue=False, **kw)
-    threshold = float(os.environ.get("FHE_REGEX_MV_MIN_SAVINGS",
-                                     str(MV_AUTO_MIN_SAVINGS)))
+    raw = os.environ.get("FHE_REGEX_MV_MIN_SAVINGS")
+    try:
+        threshold = (float(raw) if raw is not None
+                     else MV_AUTO_MIN_SAVINGS)
+    except ValueError:
+        logger.warning("bad FHE_REGEX_MV_MIN_SAVINGS=%r; using default %.2f",
+                       raw, MV_AUTO_MIN_SAVINGS)
+        threshold = MV_AUTO_MIN_SAVINGS
     pbs = mv_c.pbs_count
     if pbs and (1.0 - mv_c.rotation_count / pbs) >= threshold:
         return mv_c

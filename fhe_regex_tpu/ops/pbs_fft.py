@@ -82,7 +82,8 @@ C64 = jnp.complex64
 LIMB_PLANS = {
     "8": (8, 8, 8, 8),        # exact after rounding (bit-exact vs golden)
     "mixed": (16, 8, 8),      # exact hi limbs + ~2^10 total lo-limb noise
-    "16": (16, 16),           # REJECTED at production N (hi-limb error 2^16x)
+    "16": (16, 16),           # REJECTED everywhere: noisy limb at weight 2^16
+                              # fails the ulp-floor noise model (params.py)
 }
 
 

@@ -146,7 +146,16 @@ class Params:
         for bits in plan:
             if bits > 8:
                 sigma_eps = 10.0 * (2.0 ** (bits - 16)) * (N / 2048.0)
-                var += n * rows * (sigma_eps * (2.0 ** w)) ** 2
+                # analytic f32-ulp floor (advisor, round 2): true conv
+                # values reach 64 * 2^(bits-1) * N, where one f32 ulp is
+                # magnitude * 2^-23 — near the mod-2^32 fold boundary this
+                # exceeds the empirically measured error (ulp 256 vs
+                # worst 48 at 16-bit/N=2048), so model the final-rounding
+                # tail explicitly: std ulp/sqrt(12), in quadrature.
+                ulp = 64.0 * (2.0 ** (bits - 1)) * N * (2.0 ** -23)
+                sigma_ulp = ulp / math.sqrt(12.0)
+                var += n * rows * ((sigma_eps ** 2 + sigma_ulp ** 2)
+                                   * (2.0 ** w) ** 2)
             w += bits
         return math.sqrt(var)
 

@@ -35,6 +35,14 @@ I32 = jnp.int32
 U32 = np.uint32
 
 
+class MvMarginError(ValueError):
+    """A multi-value LUT factor fails the >=5 sigma noise-margin check.
+
+    Distinct from other compile ValueErrors so the packed-path auto-mv
+    fallback (`_compile_auto_mv`) can catch exactly the expected rejection
+    without masking genuine mv compile bugs (advisor finding, round 2)."""
+
+
 @dataclasses.dataclass
 class LevelPlan:
     in_slots: np.ndarray   # [W, 3] int32
@@ -295,7 +303,7 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
             u2 = int((wv.astype(np.int64) ** 2).sum())
             rep = params.noise_budget_report(mv_norm2=u2)
             if rep["sigma_margin"] < 5.0:
-                raise ValueError(
+                raise MvMarginError(
                     f"multivalue factor of LUT {op.lut!r} has ||u||^2={u2}, "
                     f"leaving only {rep['sigma_margin']:.2f} sigma (< 5) — "
                     f"compile this circuit with multivalue=False")
@@ -432,6 +440,36 @@ class Executor:
         return jax.jit(self._run_level_mv, donate_argnums=(1,),
                        static_argnums=(9,))
 
+    # ---------------- fused-levels megarun ----------------
+    #
+    # Warm single-match latency on the axon-relayed TPU is dominated by the
+    # per-launch dispatch floor (0.15-0.35 s x circuit depth, not compute
+    # — docs/BENCHMARKS.md).  Jitting the WHOLE level loop into one XLA
+    # program turns depth dispatches into ONE; the inner Mosaic kernels
+    # keep their fixed {SMALL, MAX} executable shapes, so the program
+    # reuses the already-compiled kernels at every call site.  Per-level
+    # plan arrays ride as jit arguments (a pytree), never closures — a
+    # closed-over plan would become HLO literals (see __init__ note).
+
+    def _run_levels_fused(self, key, slab, luts, devs):
+        for dev in devs:
+            slab = self._run_level(key, slab, luts, *dev)
+        return slab
+
+    @functools.cached_property
+    def _fused_jit(self):
+        return jax.jit(self._run_levels_fused, donate_argnums=(1,))
+
+    def _run_levels_fused_mv(self, key, slab, vlut, devs, positions_all):
+        for dev, pos in zip(devs, positions_all):
+            slab = self._run_level_mv(key, slab, vlut, *dev, pos)
+        return slab
+
+    @functools.cached_property
+    def _fused_mv_jit(self):
+        return jax.jit(self._run_levels_fused_mv, donate_argnums=(1,),
+                       static_argnums=(4,))
+
     def _mv_rotate_many(self, key, slab, vlut, rot_slots, rot_coefs,
                         rot_consts):
         """Phase A of a packed multi-value level: one fixed-shape rotation
@@ -520,7 +558,8 @@ class Executor:
     def run(self, circuit: CompiledCircuit, content_blocks: np.ndarray,
             profile: bool = False, checkpoint: "str | None" = None,
             checkpoint_every: int = 0,
-            resume: "str | None" = None) -> np.ndarray:
+            resume: "str | None" = None,
+            fuse: "bool | None" = None) -> np.ndarray:
         """content_blocks: [len, num_blocks, n+1] uint32 -> radix result
         [num_blocks, n+1] uint32.
 
@@ -560,6 +599,24 @@ class Executor:
         level_jit = self._mv_level_jit if mv else self._level_jit
         stats = []
         devs = self._device_levels(circuit)
+        if fuse is None:
+            import os
+            env = os.environ.get("FHE_REGEX_FUSE_LEVELS")
+            fuse = (env == "1" if env is not None
+                    else jax.default_backend() == "tpu")
+        if (fuse and start_level == 0 and not profile
+                and not (checkpoint is not None and checkpoint_every > 0)):
+            # one dispatch for the whole circuit (per-level path retained
+            # for profile/checkpoint, which need level boundaries)
+            if mv:
+                slab = self._fused_mv_jit(
+                    self._key_args, slab, luts,
+                    tuple(d[:-1] for d in devs), tuple(d[-1] for d in devs))
+            else:
+                slab = self._fused_jit(self._key_args, slab, luts,
+                                       tuple(devs))
+            self.last_run_stats = []
+            return self._finalize(circuit, slab)
         for li in range(start_level, len(circuit.levels)):
             lv, dev = circuit.levels[li], devs[li]
             t0 = time.time() if profile else 0.0

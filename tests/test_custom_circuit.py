@@ -68,6 +68,37 @@ def test_counters_match_reference_semantics():
     assert b.cache_hits == 1
 
 
+@pytest.mark.parametrize("content", ["ab", "az", "xy"])
+def test_fused_levels_matches_per_level(content, keys):
+    """The megarun (whole level loop in ONE jitted dispatch) must produce
+    the same ciphertext slab result as the per-level launch path."""
+    ck, sk = keys
+    b = CircuitBuilder(2)
+    root = _predicate(b)
+    circuit = compile_circuit(TEST_PARAMS, b, root)
+    ex = executor_for(sk)
+    ct = trivial_encrypt_str(TEST_PARAMS, content)
+    out_fused = ex.run(circuit, ct, fuse=True)
+    out_steps = ex.run(circuit, ct, fuse=False)
+    assert np.array_equal(out_fused, out_steps)
+    assert decrypt(ck, out_fused) == _plain(content)
+
+
+def test_fused_levels_matches_per_level_mv(keys):
+    """Fused dispatch on a MULTI-VALUE compiled circuit."""
+    ck, sk = keys
+    b = CircuitBuilder(2)
+    root = _predicate(b)
+    circuit = compile_circuit(TEST_PARAMS, b, root, multivalue=True)
+    ex = executor_for(sk)
+    for content in ("ab", "xy"):
+        ct = trivial_encrypt_str(TEST_PARAMS, content)
+        out_fused = ex.run(circuit, ct, fuse=True)
+        out_steps = ex.run(circuit, ct, fuse=False)
+        assert np.array_equal(out_fused, out_steps)
+        assert decrypt(ck, out_fused) == _plain(content)
+
+
 def test_executor_for_reuses_compiled_circuit(keys):
     ck, sk = keys
     b = CircuitBuilder(1)

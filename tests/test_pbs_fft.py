@@ -200,19 +200,28 @@ def test_fft_lowering_pins_dot_precision():
     assert not bad, "f32 dots without HIGHEST precision:\n" + "\n".join(bad)
 
 
-def test_fft16_decrypts_correctly(noisy_keys, monkeypatch):
-    """16-bit limbs: not bit-exact (bounded FFT noise ~2^7/step) but must
-    decrypt identically on noisy keys — the production mode."""
-    monkeypatch.setenv("FHE_REGEX_FFT_LIMBS", "16")
+def test_fft16_rejected_everywhere():
+    """(16,16) puts a noisy 16-bit limb at weight 2^16; with the analytic
+    f32-ulp floor in the noise model (advisor, round 2) that is
+    inadmissible at EVERY parameter set — a 16-bit limb is only admissible
+    at weight 2^0 (the 'mixed' plan, whose noisy-limb numeric behavior is
+    covered by test_fft_mixed_default_decrypts)."""
+    import pytest
+    dummy = np.zeros(
+        (1, 1, 1, TEST_PARAMS_NOISY.polynomial_size), np.uint32)
+    with pytest.raises(ValueError, match="limb plan"):
+        pbs_fft.prepare_bsk_fft(TEST_PARAMS_NOISY, dummy, plan="16")
+
+
+def test_fft_mixed_phases_match_reference(noisy_keys):
+    """'mixed'-plan outputs: ciphertext coefficients legitimately diverge
+    from the exact path (digit representations differ), but the decryption
+    PHASES must agree far inside the margin."""
     f = lambda x: (x * 5 + 1) % 16
     msgs = [0, 4, 9, 15, 2, 6, 11, 13]
     ref, got, ck = _run(TEST_PARAMS_NOISY, noisy_keys, msgs, f)
     P = TEST_PARAMS_NOISY
-    o = got.view(np.uint32)
-    dec = [lwe.decrypt_lwe(P, ck.lwe_key, o[i]) for i in range(len(msgs))]
-    assert dec == [f(m) % 16 for m in msgs]
-    # ciphertext coefficients legitimately diverge (digit representations
-    # differ), but the decryption PHASES must agree far inside the margin
+
     def phases(c):
         n = P.lwe_dimension
         a = c[:, :n].astype(np.int64)
