@@ -251,8 +251,8 @@ TPU_MESSAGE_2_CARRY_2 = Params(name="TPU_MESSAGE_2_CARRY_2")
 #
 # Use this set for parity/benchmarking (trivial or measured-risk runs);
 # the STATED 64-bit production contract is TPU64_MESSAGE_2_CARRY_2 below
-# (same algebraic shape, >=5-sigma margin under real encryption —
-# validated on hardware, docs/BENCHMARKS.md "real encryption" tables).
+# (same algebraic shape, >=5-sigma analytic margin, test-asserted; see
+# docs/BENCHMARKS.md for the hardware runs recorded against it).
 REF_MESSAGE_2_CARRY_2_64 = Params(
     name="REF_MESSAGE_2_CARRY_2_64",
     torus_bits=64,

@@ -92,6 +92,47 @@ def _usvp_beta(n: int, log2_q: float, log2_sigma: float,
     return lo, succeeds(lo)
 
 
+def _dual_cost_bits(n: int, log2_q: float, log2_sigma: float,
+                    secret_var: float, beta: int, m: int) -> "float | None":
+    """Classical core-SVP cost (bits) of the scaled-dual distinguishing
+    attack at (beta, m); None when the advantage is hopeless.
+
+    Scaled dual of the Bai-Galbraith lattice: L = {(v, w/xi) : A^T v = w
+    mod q}, dim d = m + n, vol = (q/xi)^n, xi = sigma/sigma_s.  BKZ-beta
+    finds a vector of norm ell = delta^(d-1) vol^(1/d); the statistic
+    <v, b> mod q is then (balanced rescale) Gaussian of std ~ ell*sigma,
+    distinguishable from uniform with advantage eps = exp(-2 pi^2
+    (ell sigma/q)^2) (Albrecht 2017 "dual lattice attacks"; HE-standard
+    appendix B).  R = 1/(4 eps^2) repetitions boost to constant advantage;
+    one dim-beta sieve emits 2^(0.2075 beta) usable short vectors, so the
+    repetitions are amortized against the sieve batch (MATZOV-style)."""
+    log2_xi = max(0.0, log2_sigma - 0.5 * math.log2(secret_var))
+    d = m + n
+    log2_vol = n * (log2_q - log2_xi)
+    log2_ell = (d - 1) * _log2_delta(beta) + log2_vol / d
+    log2_ratio = log2_ell + log2_sigma - log2_q
+    if log2_ratio > 1.0:
+        return None           # ell*sigma >> q: no distinguishing signal
+    log2_eps = -2.0 * math.pi ** 2 * (2.0 ** (2 * log2_ratio)) * _LOG2E
+    log2_R = max(0.0, -2.0 * log2_eps - 2.0)
+    return 0.292 * beta + max(0.0, log2_R - 0.2075 * beta)
+
+
+def _dual_bits(n: int, log2_q: float, log2_sigma: float,
+               secret_var: float = 0.25, max_beta: int = 2048
+               ) -> "tuple[float, int, int]":
+    """(classical core-SVP bits, beta, d) of the cheapest scaled-dual
+    attack over (beta, m)."""
+    best = (float("inf"), max_beta + 1, 0)
+    step_m = max(1, n // 8)
+    for beta in range(50, max_beta + 1, 8):
+        for m in range(step_m, 4 * n + 1, step_m):
+            c = _dual_cost_bits(n, log2_q, log2_sigma, secret_var, beta, m)
+            if c is not None and c < best[0]:
+                best = (c, beta, m + n)
+    return best
+
+
 @dataclasses.dataclass(frozen=True)
 class SecurityEstimate:
     n: int
@@ -101,6 +142,16 @@ class SecurityEstimate:
     dim: int                    # attack lattice dimension at the optimum
     classical_bits: float       # bare core-SVP classical: 0.292 * beta
     quantum_bits: float         # bare core-SVP quantum: 0.265 * beta
+
+    dual_bits: float = float("inf")   # scaled-dual core-SVP classical bits
+    dual_beta: int = 0
+    dual_dim: int = 0
+
+    @property
+    def dual_bits_bkz(self) -> float:
+        """Scaled-dual cost under the same full-BKZ constants as
+        classical_bits_bkz (sieve constant + SVP calls per tour)."""
+        return self.dual_bits + 16.4 + math.log2(8 * max(self.dual_dim, 1))
 
     @property
     def classical_bits_bkz(self) -> float:
@@ -128,9 +179,12 @@ def estimate_lwe(n: int, q: float, sigma: float,
     log2_q = math.log2(q)
     log2_sigma = math.log2(sigma)
     beta, dim = _usvp_beta(n, log2_q, log2_sigma, secret_var)
+    dual_bits, dual_beta, dual_dim = _dual_bits(n, log2_q, log2_sigma,
+                                                secret_var)
     return SecurityEstimate(
         n=n, log2_q=log2_q, log2_rel_sigma=log2_sigma - log2_q, beta=beta,
-        dim=dim, classical_bits=0.292 * beta, quantum_bits=0.265 * beta)
+        dim=dim, classical_bits=0.292 * beta, quantum_bits=0.265 * beta,
+        dual_bits=dual_bits, dual_beta=dual_beta, dual_dim=dual_dim)
 
 
 def estimate_params(params: Params) -> dict:
@@ -155,4 +209,6 @@ def estimate_params(params: Params) -> dict:
         "classical_bits_bkz": min(lwe.classical_bits_bkz,
                                   glwe.classical_bits_bkz),
         "quantum_bits": min(lwe.quantum_bits, glwe.quantum_bits),
+        "dual_bits": min(lwe.dual_bits, glwe.dual_bits),
+        "dual_bits_bkz": min(lwe.dual_bits_bkz, glwe.dual_bits_bkz),
     }
