@@ -262,6 +262,21 @@ def prepare_server_key(params: Params, server_key,
             stack_rows=bool(stack_rows),
             bank_split=bool(bank_split),
         )
+    if backend == "pallas-bg":
+        # batch-grid fused blind rotation: one B-INDEPENDENT Mosaic
+        # executable (compile time no longer scales with B — the
+        # monolithic kernel's 765-2460 s remote compile at B=1792);
+        # needs B to factor into >= 2 blocks of <= 256
+        from fhe_regex_tpu.ops import pbs_pallas as pp
+        return DeviceServerKey(
+            params, backend,
+            bsk_raw=jnp.asarray(
+                pp.prepare_bsk_fused_raw(params, server_key.bsk, drop_limbs)),
+            ksk_limbs=jnp.asarray(pp.prepare_ksk_limbs(params, server_key.ksk))
+            .astype(jnp.bfloat16),
+            matmul_dtype=matmul_dtype or jnp.int8,
+            limbs=tuple(range(drop_limbs, 4)),
+        )
     if backend == "fft":
         import os
         from fhe_regex_tpu.ops import pbs_fft
@@ -344,6 +359,15 @@ def make_pbs_fn(dev_key: DeviceServerKey):
                                    luts, lut_idx, dev_key.matmul_dtype, limbs,
                                    stack, split, cts)
         return fn
+    if dev_key.backend == "pallas-bg":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused_bg
+        limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+
+        def fn(luts, lut_idx, cts):
+            return pbs_batch_fused_bg(params, dev_key.bsk_raw,
+                                      dev_key.ksk_limbs, luts, lut_idx,
+                                      dev_key.matmul_dtype, limbs, cts)
+        return fn
     if dev_key.backend == "fft":
         from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft
 
@@ -388,6 +412,7 @@ def key_arrays(dev_key: DeviceServerKey) -> tuple:
         "jnp": ("bsk", "ksk"),
         "pallas": ("bsk_quad", "ksk_limbs"),
         "pallas-fused": ("bsk_fused", "ksk_limbs"),
+        "pallas-bg": ("bsk_raw", "ksk_limbs"),
         "fft": ("bsk_spec", "ksk_limbs"),
         "jnp64": ("bsk8", "ksk8"),
         "pallas64": ("bsk8f", "ksk8"),
@@ -422,6 +447,14 @@ def make_pbs_core(dev_key: DeviceServerKey):
             return pbs_batch_fused(params, key[0], key[1], luts, lut_idx,
                                    dev_key.matmul_dtype, limbs, stack, split,
                                    cts)
+        return core
+    if backend == "pallas-bg":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused_bg
+        limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+
+        def core(key, luts, lut_idx, cts):
+            return pbs_batch_fused_bg(params, key[0], key[1], luts, lut_idx,
+                                      dev_key.matmul_dtype, limbs, cts)
         return core
     if backend == "fft":
         from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft

@@ -603,6 +603,264 @@ def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
     return key_switch_mxu(params, ksk_limbs, big)
 
 
+# ---------------- batch-grid fused blind rotation ----------------
+#
+# The single-launch kernel above unrolls every whole-batch vector op over
+# B/8 x N/128 vregs, so Mosaic instruction count — and compile time —
+# scales with B (B=1792 measured 765-2460 s on the axon remote compiler vs
+# tens of seconds for the B<=256 executor shapes; the 3.2x r2 "regression"
+# was compiler weather on the same superlinear cost).  This variant puts
+# the batch in the GRID instead: grid = (n, B/tb, k1), every ref sees
+# [tb, .] blocks, so the compiled kernel is B-INDEPENDENT (one Mosaic
+# executable serves every batch that factors into tb-blocks).
+#
+#   * banks: built once per (step i, component c) at b == 0 into a
+#     persistent VMEM scratch holding all 4 limb banks for BOTH components
+#     (the bank_split int32-roll + int8-peel build), reused by every batch
+#     block — same amortization as the monolithic kernel.
+#   * accumulator: the ANY-space (HBM) OUTPUT buffer itself, moved with
+#     explicit make_async_copy DMAs — read block b into a VMEM scratch at
+#     (i, b, c=0), write it back at (i, b, c=k1-1).  Explicit semaphore
+#     waits give exact read-after-write ordering (no reliance on the block
+#     pipeliner's prefetch distance, which does NOT see through aliasing —
+#     probed: an input_output_aliases readback returns stale data).
+#     Dynamic DMA offsets (pl.ds on a program_id product) are the standard
+#     Mosaic double-buffering idiom; the axon-relay compiler crash applies
+#     only to traced VECTOR ref indices (module notes).
+#   * stage 1 materializes the current acc block into a scratch
+#     (i == 0 builds acc0 in-kernel; i > 0 DMAs the block in) so
+#     rotation/decompose and the final accumulate read one uniform buffer.
+#
+# Extra HBM traffic vs the monolithic kernel: the acc round-trips once per
+# (i, b) — 2 * B * (k+1)N * 4 bytes * n / tb-block ~= 48 GB per B=1792
+# launch ~= 60 ms at v5e HBM rates, ~3% of the launch.  In exchange the
+# VMEM ceiling stops binding at B=1792 (the monolithic kernel's 122.7 MB
+# wall), so larger batches can amortize the per-launch fixed costs.
+
+
+def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
+                              out_ref, acc_sc, digits_sc,
+                              bank_sc, acc_sem, *, k1: int, level: int,
+                              base_log: int, tb: int,
+                              torus_bits: int, tiles: int, width: int,
+                              matmul_dtype, limbs=(0, 1, 2, 3)):
+    """grid = (i, b, c): CMUX step x batch block x output component.
+
+    lutsel_ref [tb, N] i32    selected LUT rows for this batch block
+    r0_ref     [tb, 1] i32    initial body rotation -b~ (mod 2N)
+    avals_ref  [1, tb, 1]     a~_i for this (step, block)
+    quad_ref   [rp, W] i32    raw doubled GGSW windows of (i, c)
+    out_ref    [B, k1*N] i32  ANY (HBM): the accumulator, DMA'd per block
+    acc_sc     [tb, k1*N] i32 scratch: the block's current accumulator
+    digits_sc  [tb, rows*N] int8 scratch: tau-major decomposition digits
+    bank_sc    [k1*4*rows*TILE, W] int8 scratch: persistent limb banks
+    """
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    c = pl.program_id(2)
+    N = tiles * TILE
+    rows = k1 * level
+    KS = rows * TILE
+    int8_path = matmul_dtype == jnp.int8
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+
+    def negacyclic_rot(x, amt):
+        """x [tb, N] rotated per-row by amt [tb, 1] (mod 2N, negacyclic)."""
+        rot = x
+        for s in range(N.bit_length()):                  # shifts 1..N
+            kk = 1 << s
+            if kk < N:
+                r_ = pltpu.roll(rot, kk, axis=1)
+                r_ = jnp.where(col < kk, -r_, r_)
+            else:                                        # N == negate
+                r_ = -rot
+            rot = jnp.where(((amt >> s) & 1) == 1, r_, rot)
+        return rot
+
+    # ---- materialize this block's accumulator into acc_sc (c == 0) ----
+    @pl.when((i == 0) & (c == 0))
+    def _():
+        for comp in range(k1 - 1):
+            acc_sc[:, comp * N:(comp + 1) * N] = jnp.zeros((tb, N), I32)
+        acc_sc[:, (k1 - 1) * N:k1 * N] = negacyclic_rot(
+            lutsel_ref[:, :], r0_ref[:, :])
+
+    @pl.when((i > 0) & (c == 0))
+    def _():
+        cp = pltpu.make_async_copy(
+            out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
+        cp.start()
+        cp.wait()
+
+    # ---- stage 1 (c == 0): rotate by a~_i + decompose into digits ----
+    @pl.when(c == 0)
+    def _():
+        shift = torus_bits - base_log * level
+        B_ = 1 << base_log
+        half = B_ // 2
+        a = avals_ref[0, :, :]                                   # [tb, 1]
+        for comp in range(k1):
+            x = acc_sc[:, comp * N:(comp + 1) * N]
+            diff = negacyclic_rot(x, a) - x
+            u = pltpu.bitcast(diff, jnp.uint32)
+            state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
+            digs = []
+            for _j in range(level):
+                d = state & (B_ - 1)
+                d = jnp.where(d >= half, d - B_, d)
+                state = (state - d) >> base_log
+                digs.append(d)
+            for j, d in enumerate(reversed(digs)):               # MSD first
+                r = comp * level + j
+                d = d.astype(digits_sc.dtype)
+                for tau in range(tiles):                         # tau-major
+                    c0 = (tau * rows + r) * TILE
+                    digits_sc[:, c0:c0 + TILE] = (
+                        d[:, tau * TILE:(tau + 1) * TILE])
+
+    # ---- bank build (b == 0): component c's 4 limb banks, persistent ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+
+    def _roll_bank(row_vec):
+        x = jnp.broadcast_to(row_vec, (TILE, width))
+        for s in range(7):                                       # log2(TILE)
+            rolled = pltpu.roll(x, 1 << s, axis=1)
+            x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+        return x
+
+    for X in range(k1):
+        @pl.when((b == 0) & (c == X))
+        def _(X=X):
+            for r in range(rows):
+                v = _roll_bank(quad_ref[r:r + 1, :])
+                for l in range(4):
+                    d = ((v + 128) & 255) - 128
+                    bank_sc[(X * 4 + l) * KS + r * TILE:
+                            (X * 4 + l) * KS + (r + 1) * TILE, :] = (
+                        d.astype(jnp.int8))
+                    v = (v - d) >> 8
+
+    # ---- external product: digits x component-c banks (deep-K dots) ----
+    def _component_total(X):
+        total = None
+        for l in limbs:
+            x = bank_sc[(X * 4 + l) * KS:(X * 4 + l + 1) * KS, :]
+            acc_l = None
+            for tau in range(tiles):
+                a_vals = [(mu - tau - 1) % (2 * tiles)
+                          for mu in range(tiles)]
+                runs = [[a_vals[0], a_vals[0]]]
+                for a_ in a_vals[1:]:
+                    if a_ == runs[-1][1] + 1:
+                        runs[-1][1] = a_
+                    else:
+                        runs.append([a_, a_])
+                parts = [x[:, TILE * lo + TILE: TILE * hi + 2 * TILE]
+                         for lo, hi in runs]
+                T = (parts[0] if len(parts) == 1
+                     else jnp.concatenate(parts, axis=1)).astype(matmul_dtype)
+                d_tau = digits_sc[:, tau * KS:(tau + 1) * KS].astype(
+                    matmul_dtype)
+                if int8_path:
+                    part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
+                else:
+                    part = jax.lax.dot(d_tau, T,
+                                       preferred_element_type=jnp.float32)
+                acc_l = part if acc_l is None else acc_l + part
+            contrib = acc_l.astype(I32) << (8 * l)
+            total = contrib if total is None else total + contrib
+        return total
+
+    for X in range(k1):
+        @pl.when(c == X)
+        def _(X=X):
+            acc_sc[:, X * N:(X + 1) * N] = (
+                acc_sc[:, X * N:(X + 1) * N] + _component_total(X))
+
+    # ---- write the updated block back to HBM (last component) ----
+    @pl.when(c == k1 - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            acc_sc, out_ref.at[pl.ds(b * tb, tb), :], acc_sem)
+        cp.start()
+        cp.wait()
+
+
+def _bg_block(B: int, cap: int = 256) -> "int | None":
+    """Largest tb <= cap with B % tb == 0 and tb % 8 == 0; None if none.
+    (Explicit DMA ordering makes any NB >= 1 safe.)"""
+    for tb in range(min(cap, B), 7, -8):
+        if B % tb == 0:
+            return tb
+    return None
+
+
+def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
+                          matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
+                          tb: "int | None" = None):
+    """Batch-grid single-executable blind rotation (see block comment).
+
+    bsk_raw is prepare_bsk_fused_raw's layout ([(n*(k+1))*rp, W] int32 raw
+    doubled windows; banks are rolled + limb-peeled in-kernel)."""
+    k, N, n, level = (params.glwe_dimension, params.polynomial_size,
+                      params.lwe_dimension, params.pbs_level)
+    k1 = k + 1
+    rows = k1 * level
+    rp = -(-rows // 8) * 8
+    W = bsk_raw.shape[-1]
+    B = cts_ms.shape[0]
+    if tb is None:
+        tb = _bg_block(B)
+    if tb is None:
+        raise ValueError(
+            f"batch-grid kernel needs B divisible into 8-aligned blocks of "
+            f"<= 256 (got B={B}); use the monolithic fused kernel instead")
+    NB = B // tb
+
+    lut_sel = luts[lut_idx].astype(I32)                          # [B, N]
+    r0 = (((2 * N - cts_ms[:, n]) & (2 * N - 1))
+          .astype(I32)[:, None])                                 # [B, 1]
+    avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
+
+    acc = pl.pallas_call(
+        functools.partial(_fused_blindrot_bg_kernel, k1=k1, level=level,
+                          base_log=params.pbs_base_log, tb=tb,
+                          torus_bits=params.torus_bits, tiles=N // TILE,
+                          width=W, matmul_dtype=matmul_dtype, limbs=limbs),
+        grid=(n, NB, k1),
+        in_specs=[
+            pl.BlockSpec((tb, N), lambda i, b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), lambda i, b, c: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, W), lambda i, b, c, k1=k1: (i * k1 + c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tb, k1 * N), jnp.int32),
+                        pltpu.VMEM((tb, rows * N), jnp.int8),
+                        pltpu.VMEM((k1 * 4 * rows * TILE, W), jnp.int8),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu"),
+    )(lut_sel, r0, avals, bsk_raw)
+    return acc.reshape(B, k1, N)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+def pbs_batch_fused_bg(params: Params, bsk_raw, ksk_limbs, luts, lut_idx,
+                       matmul_dtype, limbs, cts):
+    ms = mod_switch(params, cts)
+    acc = blind_rotate_fused_bg(params, bsk_raw, luts, lut_idx, ms,
+                                matmul_dtype, limbs)
+    big = sample_extract(params, acc)
+    return key_switch_mxu(params, ksk_limbs, big)
+
+
 # ---------------- fused 64-bit blind rotation (reference torus width) -----
 #
 # Same single-launch architecture as _fused_blindrot_kernel, on a 64-bit

@@ -90,6 +90,74 @@ def test_pallas_pbs_noisy(noisy_keys):
              lambda x: (x * 5 + 1) % 16)
 
 
+def _compare_bg(params, keys, msgs, f):
+    ck, sk = keys
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng)
+                    for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    ref = make_pbs_fn(prepare_server_key(params, sk, "jnp"))(luts, idx, ctsj)
+    got = make_pbs_fn(prepare_server_key(params, sk, "pallas-bg"))(
+        luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    o = np.asarray(got).view(np.uint32)
+    dec = [lwe.decrypt_lwe(params, ck.lwe_key, o[i]) for i in range(len(msgs))]
+    assert dec == [f(m) % 16 for m in msgs]
+
+
+def test_bg_blindrot_bitexact_zero_noise(keys):
+    """Batch-grid (B-independent-compile) blind rotation == jnp reference,
+    bit-exact, at NB=2 blocks."""
+    _compare_bg(TEST_PARAMS, keys,
+                [0, 1, 5, 7, 12, 15, 3, 9, 2, 4, 6, 8, 10, 11, 13, 14],
+                lambda x: (2 * x + 3) % 16)
+
+
+def test_bg_blindrot_bitexact_noisy_single_block(noisy_keys):
+    """NB=1 (one grid block) must also be exact — the DMA accumulator has
+    explicit ordering, no prefetch-distance dependence."""
+    _compare_bg(TEST_PARAMS_NOISY, noisy_keys, [0, 3, 8, 15, 6, 1, 9, 12],
+                lambda x: (x * 7 + 2) % 16)
+
+
+def test_bg_blindrot_production_geometry():
+    """Batch-grid kernel at the FULL production GLWE geometry (N=2048,
+    l=3, base 2^7 — everything that shapes the banks, digit layout and MXU
+    tiles), n shrunk 866 -> 12 to bound interpret-mode runtime, with the
+    batch split across NB=3 blocks."""
+    import dataclasses
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.params import TPU_MESSAGE_2_CARRY_2
+
+    P = dataclasses.replace(
+        TPU_MESSAGE_2_CARRY_2, name="TEST_PROD_SHAPE_BG",
+        lwe_dimension=12, lwe_noise_std=0.0, glwe_noise_std=0.0)
+    ck, sk = gen_keys(P, seed=13)
+    f = lambda x: (x * 3 + 1) % 16
+    msgs = [i % 16 for i in range(24)]
+    cts = np.stack([lwe.encrypt_lwe(P, ck.lwe_key, m, ck.rng) for m in msgs])
+    luts = jnp.asarray(make_lut_poly(P, f)[None].view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    ref = make_pbs_fn(prepare_server_key(P, sk, "jnp"))(luts, idx, ctsj)
+    from fhe_regex_tpu.ops import pbs_pallas as pp
+    from fhe_regex_tpu.ops.pbs import key_arrays
+    dev = prepare_server_key(P, sk, "pallas-bg")
+    got = pp.pbs_batch_fused_bg(P, dev.bsk_raw, dev.ksk_limbs, luts, idx,
+                                dev.matmul_dtype, dev.limbs, ctsj)
+    # force NB=3 blocks of 8 explicitly through the tb override
+    from fhe_regex_tpu.ops.pbs import mod_switch, sample_extract
+    acc = pp.blind_rotate_fused_bg(P, dev.bsk_raw, luts, idx,
+                                   mod_switch(P, ctsj), tb=8)
+    got3 = pp.key_switch_mxu(P, dev.ksk_limbs, sample_extract(P, acc))
+    assert np.array_equal(np.asarray(got), np.asarray(got3))
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    o = np.asarray(got).view(np.uint32)
+    dec = [lwe.decrypt_lwe(P, ck.lwe_key, o[i]) for i in range(len(msgs))]
+    assert dec == [f(m) for m in msgs]
+
+
 def test_pallas_drop_limbs_fast_mode(noisy_keys):
     """drop_limbs=1 skips the low-limb matmuls; rounding noise stays far
     inside the margin on these parameters, so results still decrypt."""
