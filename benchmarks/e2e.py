@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--backend", default=None)
     ap.add_argument("--trivial", action="store_true",
                     help="trivial content encryption (deterministic fast path)")
+    ap.add_argument("--repeat", type=int, default=0,
+                    help="extra warm runs per config (reports warm min)")
     args = ap.parse_args()
 
     import jax
@@ -82,13 +84,24 @@ def main():
                         fold=args.fold)
         got = decrypt(ck, res)
         dt = time.time() - t0
-        print(json.dumps({
+        warm = None
+        for _ in range(args.repeat):
+            t0 = time.time()
+            res = has_match(sk, ct, cfg["pattern"], backend=args.backend,
+                            fold=args.fold)
+            w = time.time() - t0
+            warm = w if warm is None else min(warm, w)
+            assert decrypt(ck, res) == got
+        rec = {
             "config": name, "pattern": cfg["pattern"],
             "content_len": cfg["content_len"],
             "latency_s": round(dt, 3), "result": got,
             "expected": expected[name], "ok": got == expected[name],
             "fold": args.fold, "params": params.name,
-        }), flush=True)
+        }
+        if warm is not None:
+            rec["warm_s"] = round(warm, 3)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -610,7 +610,7 @@ def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
 # scales with B (B=1792 measured 765-2460 s on the axon remote compiler vs
 # tens of seconds for the B<=256 executor shapes; the 3.2x r2 "regression"
 # was compiler weather on the same superlinear cost).  This variant puts
-# the batch in the GRID instead: grid = (n, B/tb, k1), every ref sees
+# the batch in the GRID instead: grid = (n, B/tb), every ref sees
 # [tb, .] blocks, so the compiled kernel is B-INDEPENDENT (one Mosaic
 # executable serves every batch that factors into tb-blocks).
 #
@@ -639,27 +639,32 @@ def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
 
 
 def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
-                              out_ref, acc_sc, digits_sc,
-                              bank_sc, acc_sem, *, k1: int, level: int,
-                              base_log: int, tb: int,
+                              out_ref, acc_sc, wb_sc, digits_sc,
+                              bank_sc, acc_sem, wb_sem, *, k1: int,
+                              level: int, base_log: int, tb: int, NB: int,
                               torus_bits: int, tiles: int, width: int,
                               matmul_dtype, limbs=(0, 1, 2, 3)):
-    """grid = (i, b, c): CMUX step x batch block x output component.
+    """grid = (i, b): CMUX step x batch block; BOTH output components per
+    cell (a pl.when-guarded component dim would compile both branches
+    anyway — merging halves the cell count for the same body size).
 
     lutsel_ref [tb, N] i32    selected LUT rows for this batch block
     r0_ref     [tb, 1] i32    initial body rotation -b~ (mod 2N)
     avals_ref  [1, tb, 1]     a~_i for this (step, block)
-    quad_ref   [rp, W] i32    raw doubled GGSW windows of (i, c)
+    quad_ref   [k1*rp, W] i32 raw doubled GGSW windows of step i (all c)
     out_ref    [B, k1*N] i32  ANY (HBM): the accumulator, DMA'd per block
     acc_sc     [tb, k1*N] i32 scratch: the block's current accumulator
+    wb_sc      [tb, k1*N] i32 scratch: write-staging copy (the HBM write
+                              completes while later cells compute; waited
+                              one cell later, before wb_sc is reused)
     digits_sc  [tb, rows*N] int8 scratch: tau-major decomposition digits
     bank_sc    [k1*4*rows*TILE, W] int8 scratch: persistent limb banks
     """
     i = pl.program_id(0)
     b = pl.program_id(1)
-    c = pl.program_id(2)
     N = tiles * TILE
     rows = k1 * level
+    rp = -(-rows // 8) * 8
     KS = rows * TILE
     int8_path = matmul_dtype == jnp.int8
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
@@ -677,48 +682,46 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
             rot = jnp.where(((amt >> s) & 1) == 1, r_, rot)
         return rot
 
-    # ---- materialize this block's accumulator into acc_sc (c == 0) ----
-    @pl.when((i == 0) & (c == 0))
+    # ---- materialize this block's accumulator into acc_sc ----
+    @pl.when(i == 0)
     def _():
         for comp in range(k1 - 1):
             acc_sc[:, comp * N:(comp + 1) * N] = jnp.zeros((tb, N), I32)
         acc_sc[:, (k1 - 1) * N:k1 * N] = negacyclic_rot(
             lutsel_ref[:, :], r0_ref[:, :])
 
-    @pl.when((i > 0) & (c == 0))
+    @pl.when(i > 0)
     def _():
         cp = pltpu.make_async_copy(
             out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
         cp.start()
         cp.wait()
 
-    # ---- stage 1 (c == 0): rotate by a~_i + decompose into digits ----
-    @pl.when(c == 0)
-    def _():
-        shift = torus_bits - base_log * level
-        B_ = 1 << base_log
-        half = B_ // 2
-        a = avals_ref[0, :, :]                                   # [tb, 1]
-        for comp in range(k1):
-            x = acc_sc[:, comp * N:(comp + 1) * N]
-            diff = negacyclic_rot(x, a) - x
-            u = pltpu.bitcast(diff, jnp.uint32)
-            state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
-            digs = []
-            for _j in range(level):
-                d = state & (B_ - 1)
-                d = jnp.where(d >= half, d - B_, d)
-                state = (state - d) >> base_log
-                digs.append(d)
-            for j, d in enumerate(reversed(digs)):               # MSD first
-                r = comp * level + j
-                d = d.astype(digits_sc.dtype)
-                for tau in range(tiles):                         # tau-major
-                    c0 = (tau * rows + r) * TILE
-                    digits_sc[:, c0:c0 + TILE] = (
-                        d[:, tau * TILE:(tau + 1) * TILE])
+    # ---- stage 1: rotate by a~_i + decompose into digits ----
+    shift = torus_bits - base_log * level
+    B_ = 1 << base_log
+    half = B_ // 2
+    a = avals_ref[0, :, :]                                       # [tb, 1]
+    for comp in range(k1):
+        x = acc_sc[:, comp * N:(comp + 1) * N]
+        diff = negacyclic_rot(x, a) - x
+        u = pltpu.bitcast(diff, jnp.uint32)
+        state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
+        digs = []
+        for _j in range(level):
+            d = state & (B_ - 1)
+            d = jnp.where(d >= half, d - B_, d)
+            state = (state - d) >> base_log
+            digs.append(d)
+        for j, d in enumerate(reversed(digs)):                   # MSD first
+            r = comp * level + j
+            d = d.astype(digits_sc.dtype)
+            for tau in range(tiles):                             # tau-major
+                c0 = (tau * rows + r) * TILE
+                digits_sc[:, c0:c0 + TILE] = (
+                    d[:, tau * TILE:(tau + 1) * TILE])
 
-    # ---- bank build (b == 0): component c's 4 limb banks, persistent ----
+    # ---- bank build (b == 0): both components' limb banks, persistent ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
 
     def _roll_bank(row_vec):
@@ -728,11 +731,11 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
             x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
         return x
 
-    for X in range(k1):
-        @pl.when((b == 0) & (c == X))
-        def _(X=X):
+    @pl.when(b == 0)
+    def _():
+        for X in range(k1):
             for r in range(rows):
-                v = _roll_bank(quad_ref[r:r + 1, :])
+                v = _roll_bank(quad_ref[X * rp + r:X * rp + r + 1, :])
                 for l in range(4):
                     d = ((v + 128) & 255) - 128
                     bank_sc[(X * 4 + l) * KS + r * TILE:
@@ -740,7 +743,7 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                         d.astype(jnp.int8))
                     v = (v - d) >> 8
 
-    # ---- external product: digits x component-c banks (deep-K dots) ----
+    # ---- external product: digits x per-component banks (deep-K dots) ----
     def _component_total(X):
         total = None
         for l in limbs:
@@ -772,16 +775,30 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
         return total
 
     for X in range(k1):
-        @pl.when(c == X)
-        def _(X=X):
-            acc_sc[:, X * N:(X + 1) * N] = (
-                acc_sc[:, X * N:(X + 1) * N] + _component_total(X))
+        acc_sc[:, X * N:(X + 1) * N] = (
+            acc_sc[:, X * N:(X + 1) * N] + _component_total(X))
 
-    # ---- write the updated block back to HBM (last component) ----
-    @pl.when(c == k1 - 1)
-    def _():
+    # ---- stage the write; the DMA overlaps the next cells' compute ----
+    if NB > 1:
+        @pl.when((i > 0) | (b > 0))
+        def _():
+            # previous cell's write, before wb_sc is reused (the wait only
+            # decrements the semaphore by this copy's size — equal shapes)
+            pltpu.make_async_copy(
+                wb_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem).wait()
+        wb_sc[:, :] = acc_sc[:, :]
         cp = pltpu.make_async_copy(
-            acc_sc, out_ref.at[pl.ds(b * tb, tb), :], acc_sem)
+            wb_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
+        cp.start()
+
+        @pl.when((i == pl.num_programs(0) - 1) & (b == NB - 1))
+        def _():
+            pltpu.make_async_copy(     # drain the final write
+                wb_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem).wait()
+    else:
+        # NB == 1: the same block is re-read next cell — synchronous write
+        cp = pltpu.make_async_copy(
+            acc_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
         cp.start()
         cp.wait()
 
@@ -824,25 +841,27 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
 
     acc = pl.pallas_call(
         functools.partial(_fused_blindrot_bg_kernel, k1=k1, level=level,
-                          base_log=params.pbs_base_log, tb=tb,
+                          base_log=params.pbs_base_log, tb=tb, NB=NB,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, matmul_dtype=matmul_dtype, limbs=limbs),
-        grid=(n, NB, k1),
+        grid=(n, NB),
         in_specs=[
-            pl.BlockSpec((tb, N), lambda i, b, c: (b, 0),
+            pl.BlockSpec((tb, N), lambda i, b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, 1), lambda i, b, c: (b, 0),
+            pl.BlockSpec((tb, 1), lambda i, b: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 1), lambda i, b, c: (i, b, 0),
+            pl.BlockSpec((1, tb, 1), lambda i, b: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rp, W), lambda i, b, c, k1=k1: (i * k1 + c, 0),
+            pl.BlockSpec((k1 * rp, W), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B, k1 * N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tb, k1 * N), jnp.int32),
+                        pltpu.VMEM((tb, k1 * N), jnp.int32),
                         pltpu.VMEM((tb, rows * N), jnp.int8),
                         pltpu.VMEM((k1 * 4 * rows * TILE, W), jnp.int8),
+                        pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
