@@ -7,7 +7,17 @@ Prints ONE JSON line:
 Baseline: the reference's crypto stack (tfhe-rs 0.2 on CPU) runs a
 PARAM_MESSAGE_2_CARRY_2 bootstrap in O(10 ms) single-thread (BASELINE.md —
 the repo publishes no numbers; 100 bootstraps/s is the CPU baseline row).
-Correctness is asserted in-run: the timed batch is decrypted and checked.
+Correctness is asserted in-run: every timed batch is decrypted and checked.
+
+Driver-window robustness (round 3): the remote Mosaic compile of the
+B=1792 fused kernel costs 765-2520 s depending on compiler weather (the
+round-2 driver bench timed out with nothing recorded).  On TPU this script
+therefore runs a LADDER of batch shapes in a child process — B=256
+(compiles in minutes, ~730 pbs/s), then B=1024 (~915), then B=1792
+(939.7) — and the parent prints the best completed measurement: on
+SIGTERM (the driver's timeout) it immediately emits the best-so-far JSON,
+so a number is recorded whatever the budget.  Set BENCH_BACKEND or
+BENCH_BATCH to force a single direct measurement (no ladder, no child).
 
 Keys for the full parameter set are generated once and cached in .cache/.
 """
@@ -16,6 +26,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -46,44 +58,44 @@ def _get_keys(params):
     return ck, sk
 
 
-def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(CACHE / "jax"))
+def _resolve_params():
     import jax
-    import jax.numpy as jnp
-
     from fhe_regex_tpu.params import TPU_MESSAGE_2_CARRY_2, TEST_PARAMS
-    from fhe_regex_tpu.crypto import lwe
-    from fhe_regex_tpu.crypto.golden import make_lut_poly
-    from fhe_regex_tpu.ops.pbs import prepare_server_key, make_pbs_fn
 
     on_tpu = jax.default_backend() == "tpu"
     params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
     if "BENCH_PARAMS" in os.environ:
         from fhe_regex_tpu.params import get_params
         params = get_params(os.environ["BENCH_PARAMS"])
-    is64 = params.torus_bits == 64
-    # VMEM-ceiling sweet spots for the fused kernels: B=1792 (32-bit,
-    # 937.6 pbs/s at the 127M vmem cap; 2048 exceeds the 128M chip vmem)
-    # and B=1024 (64-bit, 613.1)
-    B = int(os.environ.get(
-        "BENCH_BATCH", ("1024" if is64 else "1792") if on_tpu else "8"))
-    iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
-    backend = os.environ.get(
-        "BENCH_BACKEND",
-        ("pallas64" if is64 else "pallas-fused") if on_tpu
-        else ("jnp64" if is64 else "jnp"))
+    return params, on_tpu
+
+
+def _record(rate: float) -> dict:
+    return {
+        "metric": "pbs_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(rate / 100.0, 3),
+    }
+
+
+def _measure(params, ck, sk, backend: str, B: int, iters: int) -> float:
+    """One (backend, batch) point: compile, time, decrypt-gate.
+
+    Returns pbs/s, or 0.0 on a correctness failure."""
+    import jax.numpy as jnp
+
+    from fhe_regex_tpu.crypto import lwe
+    from fhe_regex_tpu.crypto.golden import make_lut_poly
+    from fhe_regex_tpu.ops.pbs import prepare_server_key, make_pbs_fn
+    from fhe_regex_tpu.regex.executor import _limbs_to_np, _np_to_limbs
+
     dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[
         os.environ.get("BENCH_MATMUL", "int8")]
     drop_limbs = int(os.environ.get("BENCH_DROP_LIMBS", "0"))
-
-    print(f"# params={params.name} B={B} iters={iters} backend={backend} "
-          f"platform={jax.default_backend()}", file=sys.stderr)
-    ck, sk = _get_keys(params)
     dev_key = prepare_server_key(params, sk, backend, matmul_dtype=dtype,
                                  drop_limbs=drop_limbs)
     pbs = make_pbs_fn(dev_key)
-
-    from fhe_regex_tpu.regex.executor import _limbs_to_np, _np_to_limbs
 
     msgs = np.arange(B) % 16
     cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, int(m), ck.rng)
@@ -97,10 +109,12 @@ def main():
     t0 = time.time()
     out = pbs(luts, lut_idx, ctsj)
     np.asarray(out)  # host transfer: axon block_until_ready can return early
-    print(f"# compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
+    print(f"# [{backend} B={B}] compile+first run {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     import contextlib
-    prof_dir = os.environ.get("BENCH_PROFILE")  # JAX profiler trace dir
+    import jax
+    prof_dir = os.environ.get("BENCH_PROFILE")  # JAX trace dir
     prof = (jax.profiler.trace(prof_dir) if prof_dir
             else contextlib.nullcontext())
     t0 = time.time()
@@ -109,24 +123,141 @@ def main():
             out = pbs(luts, lut_idx, ctsj)
         np.asarray(out)
     dt = time.time() - t0
-    pbs_per_sec = iters * B / dt
+    rate = iters * B / dt
 
-    # correctness gate: the timed computation must decrypt right
     o = _limbs_to_np(np.asarray(out), params.torus_bits)
-    got = np.array([lwe.decrypt_lwe(params, ck.lwe_key, o[i]) for i in range(B)])
+    got = np.array([lwe.decrypt_lwe(params, ck.lwe_key, o[i])
+                    for i in range(B)])
     want = (msgs * 3 + 1) % 16
     n_bad = int((got != want).sum())
     if n_bad:
-        print(f"# CORRECTNESS FAIL: {n_bad}/{B} wrong", file=sys.stderr)
-        pbs_per_sec = 0.0
+        print(f"# [{backend} B={B}] CORRECTNESS FAIL: {n_bad}/{B} wrong",
+              file=sys.stderr, flush=True)
+        return 0.0
+    print(f"# [{backend} B={B}] {rate:.1f} pbs/s", file=sys.stderr,
+          flush=True)
+    return rate
 
-    print(json.dumps({
-        "metric": "pbs_per_sec_per_chip",
-        "value": round(pbs_per_sec, 2),
-        "unit": "bootstraps/s",
-        "vs_baseline": round(pbs_per_sec / 100.0, 3),
-    }))
+
+def _default_ladder(params, on_tpu):
+    """(backend, B) stages, cheapest-compile first.  The ladder reuses ONE
+    backend so later shapes benefit from the remote compiler's in-process
+    warm path (measured: 2nd executable of a process compiles ~13x faster
+    than the 1st, benchmarks/r3_probe.py round 3)."""
+    if not on_tpu:
+        return [(os.environ.get("BENCH_BACKEND")
+                 or ("jnp64" if params.torus_bits == 64 else "jnp"),
+                 int(os.environ.get("BENCH_BATCH", "8")))]
+    if params.torus_bits == 64:
+        return [("pallas64", 256), ("pallas64", 1024)]
+    return [("pallas-fused", 256), ("pallas-fused", 1024),
+            ("pallas-fused", 1792)]
+
+
+def _parse_ladder(spec: str):
+    out = []
+    for part in spec.split(","):
+        backend, b = part.rsplit(":", 1)
+        out.append((backend, int(b)))
+    return out
+
+
+def worker():
+    """Runs the ladder, printing one JSON record per completed stage."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(CACHE / "jax"))
+    params, on_tpu = _resolve_params()
+    iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
+    ladder = (_parse_ladder(os.environ["BENCH_LADDER"])
+              if "BENCH_LADDER" in os.environ
+              else _default_ladder(params, on_tpu))
+    print(f"# params={params.name} iters={iters} ladder={ladder}",
+          file=sys.stderr, flush=True)
+    ck, sk = _get_keys(params)
+    for backend, B in ladder:
+        try:
+            rate = _measure(params, ck, sk, backend, B, iters)
+        except Exception as e:  # keep laddering: a failed stage prints 0
+            print(f"# [{backend} B={B}] ERROR {e!r}", file=sys.stderr,
+                  flush=True)
+            continue
+        if rate > 0:
+            print(json.dumps(_record(rate)), flush=True)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(CACHE / "jax"))
+
+    single = ("BENCH_BACKEND" in os.environ or "BENCH_BATCH" in os.environ
+              ) and "BENCH_LADDER" not in os.environ
+    if single:
+        # direct mode: one measurement in-process, one JSON line
+        params, on_tpu = _resolve_params()
+        iters = int(os.environ.get("BENCH_ITERS", "4" if on_tpu else "2"))
+        from fhe_regex_tpu.ops.pbs import resolve_backend
+        backend = resolve_backend(os.environ.get("BENCH_BACKEND"), params)
+        is64 = params.torus_bits == 64
+        B = int(os.environ.get(
+            "BENCH_BATCH", ("1024" if is64 else "1792") if on_tpu else "8"))
+        ck, sk = _get_keys(params)
+        print(json.dumps(_record(_measure(params, ck, sk, backend, B,
+                                          iters))))
+        return
+
+    import jax  # noqa: F401  (resolves the platform before forking)
+    params, on_tpu = _resolve_params()
+    if not on_tpu and "BENCH_LADDER" not in os.environ:
+        # CPU: single direct measurement (test/driver contract unchanged)
+        iters = int(os.environ.get("BENCH_ITERS", "2"))
+        backend = "jnp64" if params.torus_bits == 64 else "jnp"
+        B = int(os.environ.get("BENCH_BATCH", "8"))
+        ck, sk = _get_keys(params)
+        print(json.dumps(_record(_measure(params, ck, sk, backend, B,
+                                          iters))))
+        return
+
+    # ladder mode: child runs the stages; parent records the best completed
+    # one and prints it — immediately on SIGTERM/SIGINT (driver timeout),
+    # else when the child finishes.
+    best: "dict | None" = None
+    done = False
+
+    def finish(*_):
+        nonlocal done
+        if done:
+            return
+        done = True
+        if child.poll() is None:
+            child.kill()       # SIGKILL: a TERM'd worker inside a native
+                               # compile/exec call would linger on the chip
+        if best is not None:
+            print(json.dumps(best), flush=True)
+        else:
+            print(f"# no stage completed", file=sys.stderr, flush=True)
+        sys.stdout.flush()
+        os._exit(0 if best is not None else 1)
+
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        stdout=subprocess.PIPE, text=True)
+    signal.signal(signal.SIGTERM, finish)
+    signal.signal(signal.SIGINT, finish)
+    for line in child.stdout:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if best is None or rec.get("value", 0) > best.get("value", 0):
+            best = rec
+        print(f"# stage result: {line}", file=sys.stderr, flush=True)
+    child.wait()
+    finish()
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        main()
