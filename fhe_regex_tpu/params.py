@@ -251,8 +251,10 @@ TPU_MESSAGE_2_CARRY_2 = Params(name="TPU_MESSAGE_2_CARRY_2")
 #
 # Use this set for parity/benchmarking (trivial or measured-risk runs);
 # the STATED 64-bit production contract is TPU64_MESSAGE_2_CARRY_2 below
-# (same algebraic shape, >=5-sigma analytic margin, test-asserted; see
-# docs/BENCHMARKS.md for the hardware runs recorded against it).
+# (same algebraic shape, >=5-sigma analytic margin, test-asserted; all 7
+# driver configs were run on hardware at TPU64 with REAL encrypt_str
+# content and decrypted correctly — docs/BENCHMARKS.md round-3 e2e table,
+# TPU64 column, measured 2026-08-20).
 REF_MESSAGE_2_CARRY_2_64 = Params(
     name="REF_MESSAGE_2_CARRY_2_64",
     torus_bits=64,

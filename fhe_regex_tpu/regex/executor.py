@@ -602,8 +602,20 @@ class Executor:
         if fuse is None:
             import os
             env = os.environ.get("FHE_REGEX_FUSE_LEVELS")
-            fuse = (env == "1" if env is not None
-                    else jax.default_backend() == "tpu")
+            if env is not None:
+                fuse = env == "1"
+            else:
+                # Default: fuse on TPU, but only below a circuit-size cap.
+                # Measured (round 3, 256-char /abc/ direct circuit, ~1000
+                # bootstraps): warm latency is IDENTICAL fused vs per-level
+                # (4.1 s both — the async dispatch queue hides the launch
+                # floor once a level has multiple chunks), while the giant
+                # inlined XLA program costs +170 s of cold compile (393 s
+                # vs 225 s).  Fusing only pays on small/deep circuits where
+                # depth x dispatch-floor dominates (north-star 0.82 s fused
+                # vs 0.86 s per-level; quantifiers 2.58 vs 2.75).
+                fuse = (jax.default_backend() == "tpu"
+                        and circuit.pbs_count <= 1500)
         if (fuse and start_level == 0 and not profile
                 and not (checkpoint is not None and checkpoint_every > 0)):
             # one dispatch for the whole circuit (per-level path retained
