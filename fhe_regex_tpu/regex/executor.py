@@ -156,6 +156,29 @@ def default_min_bucket() -> int:
     return SMALL_LEVEL_BATCH if jax.default_backend() == "tpu" else 8
 
 
+# Above this many bootstraps the fused-levels megarun buys nothing warm
+# (the async dispatch queue hides the launch floor once levels span
+# multiple chunks: measured 4.08 s fused vs 4.07 s per-level on the
+# ~1000-bootstrap 256-char /abc/ circuit) while its giant inlined XLA
+# program costs +170 s of cold compile (393 s vs 225 s).  Fusing pays a
+# few % on small/deep circuits where depth x dispatch-floor dominates
+# (north-star 0.82 s fused vs 0.86 s; quantifiers 2.58 vs 2.75).
+FUSE_MAX_PBS = 1500
+
+
+def default_fuse(circuit) -> bool:
+    """Default for Executor.run(fuse=None): megarun on TPU below the
+    size cap; FHE_REGEX_FUSE_LEVELS=0|1 forces either way."""
+    import os
+
+    env = os.environ.get("FHE_REGEX_FUSE_LEVELS")
+    if env is not None:
+        return env == "1"
+    import jax
+    return (jax.default_backend() == "tpu"
+            and circuit.pbs_count <= FUSE_MAX_PBS)
+
+
 def _chunk_sizes(total: int, use_wide: bool) -> List[int]:
     """Launch-shape plan for a packed run_many level of `total` active ops.
 
@@ -600,22 +623,7 @@ class Executor:
         stats = []
         devs = self._device_levels(circuit)
         if fuse is None:
-            import os
-            env = os.environ.get("FHE_REGEX_FUSE_LEVELS")
-            if env is not None:
-                fuse = env == "1"
-            else:
-                # Default: fuse on TPU, but only below a circuit-size cap.
-                # Measured (round 3, 256-char /abc/ direct circuit, ~1000
-                # bootstraps): warm latency is IDENTICAL fused vs per-level
-                # (4.1 s both — the async dispatch queue hides the launch
-                # floor once a level has multiple chunks), while the giant
-                # inlined XLA program costs +170 s of cold compile (393 s
-                # vs 225 s).  Fusing only pays on small/deep circuits where
-                # depth x dispatch-floor dominates (north-star 0.82 s fused
-                # vs 0.86 s per-level; quantifiers 2.58 vs 2.75).
-                fuse = (jax.default_backend() == "tpu"
-                        and circuit.pbs_count <= 1500)
+            fuse = default_fuse(circuit)
         if (fuse and start_level == 0 and not profile
                 and not (checkpoint is not None and checkpoint_every > 0)):
             # one dispatch for the whole circuit (per-level path retained

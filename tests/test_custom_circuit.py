@@ -108,3 +108,31 @@ def test_executor_for_reuses_compiled_circuit(keys):
     for content, want in [("q", 1), ("r", 0)]:
         res = ex.run(circuit, trivial_encrypt_str(TEST_PARAMS, content))
         assert decrypt(ck, res) == want
+
+
+def test_default_fuse_size_cap(monkeypatch):
+    """Megarun default: on for TPU below FUSE_MAX_PBS, off above, env forces.
+
+    The cap exists because on big circuits fusing measured zero warm win
+    but +170 s cold XLA compile (docs/ROADMAP.md, round 3)."""
+    from fhe_regex_tpu.regex import executor as ex_mod
+
+    class FakeCircuit:
+        def __init__(self, pbs_count):
+            self.pbs_count = pbs_count
+
+    small = FakeCircuit(ex_mod.FUSE_MAX_PBS)
+    big = FakeCircuit(ex_mod.FUSE_MAX_PBS + 1)
+
+    monkeypatch.delenv("FHE_REGEX_FUSE_LEVELS", raising=False)
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    assert ex_mod.default_fuse(small) is True
+    assert ex_mod.default_fuse(big) is False
+
+    monkeypatch.setattr("jax.default_backend", lambda: "cpu")
+    assert ex_mod.default_fuse(small) is False
+
+    monkeypatch.setenv("FHE_REGEX_FUSE_LEVELS", "1")
+    assert ex_mod.default_fuse(big) is True
+    monkeypatch.setenv("FHE_REGEX_FUSE_LEVELS", "0")
+    assert ex_mod.default_fuse(small) is False
