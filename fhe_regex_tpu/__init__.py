@@ -87,6 +87,9 @@ def trivial_encrypt_str(params: Params, s: str) -> np.ndarray:
 
 def _executor_for(server_key: ServerKey, backend: Optional[str],
                   mesh=None) -> Executor:
+    from fhe_regex_tpu.params import warn_if_unsafe
+
+    warn_if_unsafe(server_key.params, "executor_for")
     backend = resolve_backend(backend, server_key.params)
     cache = getattr(server_key, "_executor_cache", None)
     if cache is None:

@@ -48,7 +48,10 @@ class ServerKey:
 
 def gen_keys(params: Optional[Params] = None,
              seed: Optional[int] = None) -> Tuple[ClientKey, ServerKey]:
+    from fhe_regex_tpu.params import warn_if_unsafe
+
     params = params or get_params()
+    warn_if_unsafe(params, "gen_keys")
     rng = Csprng(seed)
     lwe_key = rng.binary(params.lwe_dimension)
     glwe_key = rng.binary((params.glwe_dimension, params.polynomial_size))

@@ -88,12 +88,17 @@ class CompiledPattern:
 
     def stats(self, content_len: int) -> dict:
         c = self.circuit(content_len)
+        rep = self.params.noise_budget_report()
         return {
             "ct_ops": c.ct_ops,
             "cache_hits": c.cache_hits,
             "bootstraps": c.pbs_count,
             "rotations": c.rotation_count,
             "levels": len(c.levels),
+            # failure-probability contract (params.py): worst-case per-PBS
+            # tail and the union bound over this circuit's bootstraps
+            "log2_p_fail_per_pbs": rep["log2_p_fail_per_pbs"],
+            "p_fail_circuit": self.params.p_fail_circuit(c.pbs_count),
         }
 
 

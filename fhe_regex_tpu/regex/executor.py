@@ -175,8 +175,11 @@ def default_fuse(circuit) -> bool:
     if env is not None:
         return env == "1"
     import jax
+    # cap on rotation_count, not pbs_count: fused dispatch/compile cost
+    # scales with blind rotations actually executed, and multivalue
+    # circuits run up to ~43% fewer rotations than bootstraps
     return (jax.default_backend() == "tpu"
-            and circuit.pbs_count <= FUSE_MAX_PBS)
+            and circuit.rotation_count <= FUSE_MAX_PBS)
 
 
 def _chunk_sizes(total: int, use_wide: bool) -> List[int]:
@@ -654,6 +657,16 @@ class Executor:
                     and li + 1 < len(circuit.levels)):
                 save_slab(checkpoint, np.asarray(slab), li + 1)
         self.last_run_stats = stats
+        if profile:
+            # failure-probability contract for this run (params.py):
+            # union bound over the circuit's bootstraps at the worst-case
+            # per-PBS tail probability
+            rep = params.noise_budget_report()
+            self.last_run_pfail = {
+                "pbs_count": circuit.pbs_count,
+                "log2_p_fail_per_pbs": rep["log2_p_fail_per_pbs"],
+                "p_fail_circuit": params.p_fail_circuit(circuit.pbs_count),
+            }
         return self._finalize(circuit, slab)
 
     def _device_chunks_many(self, circuit: "CompiledCircuit", C: int,

@@ -161,6 +161,7 @@ class MatchService:
                     else list(pattern),
                     "content_len": int(len(ct)),
                     "levels": self.executor.last_run_stats,
+                    "p_fail": getattr(self.executor, "last_run_pfail", None),
                 }
         return out
 
