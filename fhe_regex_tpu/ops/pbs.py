@@ -209,6 +209,7 @@ def prepare_server_key(params: Params, server_key,
                        backend: Optional[str] = None,
                        matmul_dtype=None,
                        drop_limbs: int = 0,
+                       drop_limbs64: "Optional[tuple]" = None,
                        stack_rows: Optional[bool] = None,
                        bank_split: Optional[bool] = None,
                        fft_plan=None,
@@ -331,7 +332,64 @@ def prepare_server_key(params: Params, server_key,
             ksk8=jnp.asarray(pbs64.prepare_ksk64(params, server_key.ksk)),
             stack_rows=bool(stack_rows),
         )
+    if backend == "pallas64-bg":
+        # batch-grid 64-bit blind rotation (VERDICT r3 #2): B-independent
+        # Mosaic executable, HBM-resident accumulator, and margin-gated
+        # key-limb dropping (default_drop64 — (2, 2) at TPU64 removes 6 of
+        # 21 MAC pairs per component at 7.23 sigma).
+        from fhe_regex_tpu.ops import pbs64
+        from fhe_regex_tpu.ops import pbs_pallas as pp
+        if params.torus_bits != 64:
+            raise ValueError(
+                "backend 'pallas64-bg' needs a 64-bit parameter set")
+        drop = default_drop64(params) if drop_limbs64 is None else drop_limbs64
+        _gate_drop64(params, drop)
+        return DeviceServerKey(
+            params, backend,
+            bsk_raw64=jnp.asarray(
+                pp.prepare_bsk_fused64_raw(params, server_key.bsk, drop)),
+            ksk8=jnp.asarray(pbs64.prepare_ksk64(params, server_key.ksk)),
+            drop64=tuple(drop),
+        )
     raise ValueError(f"unknown backend {backend!r}")
+
+
+def default_drop64(params: Params) -> tuple:
+    """Largest symmetric key-limb drop keeping the >=5-sigma LUT margin
+    AND p_fail <= 2^-40 (so limb dropping never relaxes the failure
+    contract).  FHE_REGEX_DROP64="m,b" overrides."""
+    import os
+
+    env = os.environ.get("FHE_REGEX_DROP64")
+    if env is not None:
+        m, b = env.split(",")
+        return (int(m), int(b))
+    from fhe_regex_tpu.params import MIN_SIGMA_MARGIN
+    if params.lwe_noise_std == 0.0 and params.glwe_noise_std == 0.0:
+        return (0, 0)       # zero-noise test sets: keep bit-exactness
+    for cand in ((2, 2), (1, 1)):
+        rep = params.noise_budget_report(bsk_drop=cand)
+        if (rep["sigma_margin"] >= MIN_SIGMA_MARGIN
+                and rep["log2_p_fail_per_pbs"] <= -40.0):
+            return cand
+    return (0, 0)
+
+
+def _gate_drop64(params: Params, drop) -> None:
+    """Refuse a limb drop that would break the noise contract on a set
+    that otherwise meets it (unsafe sets keep their existing warning)."""
+    from fhe_regex_tpu.params import MIN_SIGMA_MARGIN
+    if tuple(drop) == (0, 0):
+        return
+    if params.lwe_noise_std == 0.0 and params.glwe_noise_std == 0.0:
+        return              # deterministic test sets: error << delta/2
+    base = params.noise_budget_report()["sigma_margin"]
+    dropped = params.noise_budget_report(bsk_drop=tuple(drop))["sigma_margin"]
+    if base >= MIN_SIGMA_MARGIN and dropped < MIN_SIGMA_MARGIN:
+        raise ValueError(
+            f"bsk limb drop {tuple(drop)} leaves {dropped:.2f} sigma "
+            f"(< {MIN_SIGMA_MARGIN}) at {params.name}; see "
+            f"Params.bsk_round_var")
 
 
 def make_pbs_fn(dev_key: DeviceServerKey):
@@ -384,6 +442,17 @@ def make_pbs_fn(dev_key: DeviceServerKey):
             out_lo, out_hi = pbs64.pbs_batch64(
                 params, dev_key.bsk8, dev_key.ksk8,
                 luts[..., 0], luts[..., 1], lut_idx,
+                cts[..., 0], cts[..., 1])
+            return jnp.stack([out_lo, out_hi], axis=-1)
+        return fn
+    if dev_key.backend == "pallas64-bg":
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64_bg
+        drop64 = getattr(dev_key, "drop64", (0, 0))
+
+        def fn(luts, lut_idx, cts):
+            out_lo, out_hi = pbs_batch_fused64_bg(
+                params, dev_key.bsk_raw64, dev_key.ksk8,
+                luts[..., 0], luts[..., 1], lut_idx, drop64,
                 cts[..., 0], cts[..., 1])
             return jnp.stack([out_lo, out_hi], axis=-1)
         return fn

@@ -908,15 +908,38 @@ def prepare_bsk_fused64(params: Params, bsk: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(q.reshape(n * k1 * rows * 8, -1))
 
 
-def prepare_bsk_fused64_raw(params: Params, bsk: np.ndarray) -> np.ndarray:
+def prepare_bsk_fused64_raw(params: Params, bsk: np.ndarray,
+                            drop: "tuple[int, int]" = (0, 0)) -> np.ndarray:
     """bsk [n, (k+1)l, k+1, N] uint64 -> int32 [(n*(k+1))*(rows*2), 2N+WIN]
     raw doubled windows as interleaved (lo, hi) int32 rows, for the stacked
     64-bit kernel (it rolls lo/hi once per row and peels the 8 int8 limb
-    banks in-kernel — 2 roll chains per row instead of 16)."""
+    banks in-kernel — 2 roll chains per row instead of 16).
+
+    drop = (mask_limbs, body_limbs): round the mask / body GGSW polynomials
+    to multiples of 256^m BEFORE doubling (so -g stays a multiple too) —
+    the low int8 key-limb banks become exactly zero and the 64-bit kernels
+    skip their MXU passes (weight classes cw < drop).  Noise cost is
+    Params.bsk_round_var; the caller gates on the >=5-sigma margin
+    (ops/pbs.py).  At TPU64_MESSAGE_2_CARRY_2 drop=(2, 2) keeps 7.23 sigma
+    (p_fail < 2^-40) and removes 6 of the 21 (digit-limb, key-limb) MAC
+    pairs per component — the keyswitch-key noise floor of the 64-bit sets
+    makes the rounding term negligible there, unlike the 32-bit set where
+    the same body-drop leaves 1.6 sigma (tests/test_pfail.py pins both).
+    """
     N = params.polynomial_size
     k1 = params.glwe_dimension + 1
     rows = params.pbs_level * k1
     g = bsk.astype(np.uint64)
+    if drop != (0, 0):
+        g = g.copy()
+        k = params.glwe_dimension
+        for c in range(k1):
+            m = drop[0] if c < k else drop[1]
+            if m:
+                unit = np.uint64(1) << np.uint64(8 * m)
+                half = unit >> np.uint64(1)
+                with np.errstate(over="ignore"):
+                    g[:, :, c, :] = ((g[:, :, c, :] + half) // unit) * unit
     doubled = np.concatenate([g, (np.uint64(0) - g)], axis=-1)    # mod 2^64
     wrapped = np.concatenate([doubled, doubled[..., :WIN]], axis=-1)
     lo = (wrapped & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
@@ -1427,3 +1450,309 @@ def pbs_batch_pallas(params: Params, bsk_quad, ksk_limbs, luts, lut_idx,
                               matmul_dtype, limbs)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
+
+
+# ---------------- batch-grid fused 64-bit blind rotation ----------------
+#
+# The 64-bit analog of _fused_blindrot_bg_kernel (VERDICT r3 #2): the
+# monolithic pallas64 kernel keeps the whole [B, k1*2*N] accumulator in
+# VMEM, which walls at B=1024 (150.6 MB at B=1280); this variant puts the
+# batch in the GRID — grid (n, B/tb) — with the accumulator HBM-resident
+# and DMA-staged per block, so VMEM is B-independent and B>=2048 can
+# amortize per-launch fixed costs.  Combines:
+#   * the bg architecture's explicit-DMA accumulator staging + write
+#     pipelining (see the 32-bit block comment above _fused_blindrot_bg_kernel),
+#   * the stacked kernel's weight-class deep-K dots on (lo, hi) limb pairs,
+#   * per-component key-limb dropping (prepare_bsk_fused64_raw drop): the
+#     kernel skips weight classes cw < drop[X] entirely and restricts the
+#     (digit-limb, key-limb) pairs of the surviving classes to j >= drop[X].
+
+
+def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
+                                avals_ref, quad_ref, out_ref, acc_sc, wb_sc,
+                                digits_sc, bank_sc, acc_sem, wb_sem, *,
+                                k1: int, level: int, base_log: int, tb: int,
+                                NB: int, tiles: int, width: int, nd: int,
+                                drop=(0, 0)):
+    """grid = (i, b): CMUX step x batch block, both components per cell.
+
+    lutsel_*_ref [tb, N] i32   selected LUT limb rows for this batch block
+    r0_ref       [tb, 1] i32   initial body rotation -b~ (mod 2N)
+    avals_ref    [1, tb, 1]    a~_i for this (step, block)
+    quad_ref     [k1*rp, W]    raw doubled (lo, hi) windows of step i
+    out_ref      [B, k1*2*N]   ANY (HBM): the (lo, hi) accumulator
+    acc_sc/wb_sc [tb, k1*2*N]  block accumulator / write-staging scratch
+    digits_sc    [tb, rows*nd*N] int8, tau-major (tau, digit-limb, row)
+    bank_sc      [k1*8*rows*TILE, W] int8 persistent key-limb banks
+    """
+    i = pl.program_id(0)
+    b = pl.program_id(1)
+    N = tiles * TILE
+    rows = k1 * level
+    rp = -(-(rows * 2) // 8) * 8
+    KR = rows * TILE
+    U = jnp.uint32
+
+    def u(x):
+        return pltpu.bitcast(x, U)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+
+    def rot64(lo, hi, amt):
+        """Negacyclic rotation of (lo, hi) rows by amt [tb, 1] (mod 2N)."""
+        rlo, rhi = lo, hi
+        for s in range(N.bit_length()):                  # shifts 1..N
+            kk = 1 << s
+            if kk < N:
+                tlo = pltpu.roll(rlo, kk, axis=1)
+                thi = pltpu.roll(rhi, kk, axis=1)
+                nlo = -tlo
+                nhi = -thi - (tlo != 0).astype(I32)      # negate mod 2^64
+                tlo = jnp.where(col < kk, nlo, tlo)
+                thi = jnp.where(col < kk, nhi, thi)
+            else:                                        # N == negate
+                tlo = -rlo
+                thi = -rhi - (rlo != 0).astype(I32)
+            bit = ((amt >> s) & 1) == 1
+            rlo = jnp.where(bit, tlo, rlo)
+            rhi = jnp.where(bit, thi, rhi)
+        return rlo, rhi
+
+    # ---- materialize this block's accumulator into acc_sc ----
+    @pl.when(i == 0)
+    def _():
+        for comp in range(k1 - 1):
+            acc_sc[:, (comp * 2) * N:(comp * 2 + 2) * N] = (
+                jnp.zeros((tb, 2 * N), I32))
+        rlo, rhi = rot64(lutsel_lo_ref[:, :], lutsel_hi_ref[:, :],
+                         r0_ref[:, :])
+        acc_sc[:, ((k1 - 1) * 2) * N:((k1 - 1) * 2 + 1) * N] = rlo
+        acc_sc[:, ((k1 - 1) * 2 + 1) * N:((k1 - 1) * 2 + 2) * N] = rhi
+
+    @pl.when(i > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
+        cp.start()
+        cp.wait()
+
+    # ---- stage 1: rotate by a~_i, diff, decompose, digit limbs ----
+    shift = 64 - base_log * level                # >= 33 (asserted outside)
+    B_ = 1 << base_log
+    half = B_ // 2
+    a = avals_ref[0, :, :]                                       # [tb, 1]
+    for comp in range(k1):
+        lo = acc_sc[:, (comp * 2) * N:(comp * 2 + 1) * N]
+        hi = acc_sc[:, (comp * 2 + 1) * N:(comp * 2 + 2) * N]
+        rlo, rhi = rot64(lo, hi, a)
+        nlo = -lo
+        nhi = -hi - (lo != 0).astype(I32)
+        dlo = rlo + nlo
+        carry = (u(dlo) < u(rlo)).astype(I32)
+        dhi = rhi + nhi + carry
+        # balanced digits live in the top base_log*level bits: hi-only
+        hi2 = dhi + (1 << (shift - 1 - 32))
+        state = (u(hi2) >> (shift - 32)).astype(I32)
+        digs = []
+        for _j in range(level):
+            d = state & (B_ - 1)
+            d = jnp.where(d >= half, d - B_, d)
+            state = (state - d) >> base_log
+            digs.append(d)
+        for j, d in enumerate(reversed(digs)):                   # MSD first
+            r = comp * level + j
+            v = d
+            for dl in range(nd):
+                dd = ((v + 128) & 255) - 128
+                v = (v - dd) >> 8
+                dd = dd.astype(jnp.int8)
+                for tau in range(tiles):                         # tau-major
+                    c0 = ((tau * nd + dl) * rows + r) * TILE
+                    digits_sc[:, c0:c0 + TILE] = (
+                        dd[:, tau * TILE:(tau + 1) * TILE])
+
+    # ---- bank build (b == 0): peel 8 int8 limb banks per (X, row) ----
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
+
+    def _roll(row_vec):
+        x = jnp.broadcast_to(row_vec, (TILE, width))
+        for s in range(7):                                       # log2(TILE)
+            rolled = pltpu.roll(x, 1 << s, axis=1)
+            x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
+        return x
+
+    @pl.when(b == 0)
+    def _():
+        for X in range(k1):
+            dX = drop[0] if X < k1 - 1 else drop[1]
+            for r in range(rows):
+                xlo = _roll(quad_ref[X * rp + 2 * r:X * rp + 2 * r + 1, :])
+                xhi = _roll(quad_ref[X * rp + 2 * r + 1:X * rp + 2 * r + 2, :])
+                v = xlo
+                for j in range(4):
+                    d = ((v + 128) & 255) - 128
+                    if j >= dX:     # dropped limbs are exactly zero: skip
+                        bank_sc[((X * 8 + j) * rows + r) * TILE:
+                                ((X * 8 + j) * rows + r + 1) * TILE, :] = (
+                            d.astype(jnp.int8))
+                    v = (v - d) >> 8
+                # lo residual + sign bit carry into the hi peel
+                w = xhi + v + (xlo < 0).astype(I32)
+                for j in range(4, 8):
+                    d = ((w + 128) & 255) - 128
+                    bank_sc[((X * 8 + j) * rows + r) * TILE:
+                            ((X * 8 + j) * rows + r + 1) * TILE, :] = (
+                        d.astype(jnp.int8))
+                    w = (w - d) >> 8
+
+    # ---- external product per component: deep-K dots by weight class ----
+    for X in range(k1):
+        dX = drop[0] if X < k1 - 1 else drop[1]
+        tlo = jnp.zeros((tb, N), I32)
+        thi = jnp.zeros((tb, N), I32)
+        for cw in range(dX, 8):                                  # 8*cw < 64
+            dls = [dl for dl in range(nd) if dX <= cw - dl < 8]
+            if not dls:
+                continue
+            acc_c = None
+            for tau in range(tiles):
+                a_vals = [(mu - tau - 1) % (2 * tiles)
+                          for mu in range(tiles)]
+                runs = [[a_vals[0], a_vals[0]]]
+                for a_ in a_vals[1:]:
+                    if a_ == runs[-1][1] + 1:
+                        runs[-1][1] = a_
+                    else:
+                        runs.append([a_, a_])
+                T_parts = []
+                d_parts = []
+                for dl in dls:
+                    j = cw - dl
+                    bank = bank_sc[((X * 8 + j) * rows) * TILE:
+                                   ((X * 8 + j) * rows + rows) * TILE, :]
+                    T_parts.append(jnp.concatenate(
+                        [bank[:, TILE * lo_ + TILE: TILE * hi_ + 2 * TILE]
+                         for lo_, hi_ in runs], axis=1)
+                        if len(runs) > 1 else
+                        bank[:, TILE * runs[0][0] + TILE:
+                             TILE * runs[0][1] + 2 * TILE])
+                    c0 = (tau * nd + dl) * KR
+                    d_parts.append(digits_sc[:, c0:c0 + KR])
+                T = (T_parts[0] if len(T_parts) == 1
+                     else jnp.concatenate(T_parts, axis=0))
+                d_tau = (d_parts[0] if len(d_parts) == 1
+                         else jnp.concatenate(d_parts, axis=1))
+                part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
+                acc_c = part if acc_c is None else acc_c + part
+            w = 8 * cw
+            if w == 0:
+                plo, phi = acc_c, acc_c >> 31
+            elif w < 32:
+                plo, phi = acc_c << w, acc_c >> (32 - w)
+            else:
+                plo, phi = jnp.zeros_like(acc_c), acc_c << (w - 32)
+            slo = tlo + plo
+            carry = (u(slo) < u(tlo)).astype(I32)
+            thi = thi + phi + carry
+            tlo = slo
+        lo = acc_sc[:, (X * 2) * N:(X * 2 + 1) * N]
+        hi = acc_sc[:, (X * 2 + 1) * N:(X * 2 + 2) * N]
+        slo = lo + tlo
+        carry = (u(slo) < u(lo)).astype(I32)
+        acc_sc[:, (X * 2) * N:(X * 2 + 1) * N] = slo
+        acc_sc[:, (X * 2 + 1) * N:(X * 2 + 2) * N] = hi + thi + carry
+
+    # ---- stage the write; the DMA overlaps the next cells' compute ----
+    if NB > 1:
+        @pl.when((i > 0) | (b > 0))
+        def _():
+            pltpu.make_async_copy(
+                wb_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem).wait()
+        wb_sc[:, :] = acc_sc[:, :]
+        cp = pltpu.make_async_copy(
+            wb_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
+        cp.start()
+
+        @pl.when((i == pl.num_programs(0) - 1) & (b == NB - 1))
+        def _():
+            pltpu.make_async_copy(     # drain the final write
+                wb_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem).wait()
+    else:
+        cp = pltpu.make_async_copy(
+            acc_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
+        cp.start()
+        cp.wait()
+
+
+def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
+                            lut_idx, cts_ms, drop=(0, 0),
+                            tb: "int | None" = None):
+    """Batch-grid single-executable 64-bit blind rotation."""
+    from fhe_regex_tpu.ops.pbs64 import n_digit_limbs
+    k, N, n, level = (params.glwe_dimension, params.polynomial_size,
+                      params.lwe_dimension, params.pbs_level)
+    k1 = k + 1
+    rows = k1 * level
+    rp = -(-(rows * 2) // 8) * 8
+    W = bsk_raw64.shape[-1]
+    B = cts_ms.shape[0]
+    nd = n_digit_limbs(params.pbs_base_log)
+    if tb is None:
+        tb = _bg_block(B)
+    if tb is None:
+        raise ValueError(
+            f"batch-grid kernel needs B divisible into 8-aligned blocks of "
+            f"<= 256 (got B={B}); use the monolithic pallas64 instead")
+    NB = B // tb
+    assert 64 - params.pbs_base_log * level >= 33
+
+    lut_lo = luts_lo[lut_idx].astype(I32)                        # [B, N]
+    lut_hi = luts_hi[lut_idx].astype(I32)                        # [B, N]
+    r0 = (((2 * N - cts_ms[:, n]) & (2 * N - 1))
+          .astype(I32)[:, None])                                 # [B, 1]
+    avals = cts_ms[:, :n].T.astype(I32)[:, :, None]              # [n, B, 1]
+
+    acc = pl.pallas_call(
+        functools.partial(_fused_blindrot64_bg_kernel, k1=k1, level=level,
+                          base_log=params.pbs_base_log, tb=tb, NB=NB,
+                          tiles=N // TILE, width=W, nd=nd,
+                          drop=tuple(drop)),
+        grid=(n, NB),
+        in_specs=[
+            pl.BlockSpec((tb, N), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 1), lambda i, b: (i, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1 * rp, W), lambda i, b: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((B, k1 * 2 * N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tb, k1 * 2 * N), jnp.int32),
+                        pltpu.VMEM((tb, k1 * 2 * N), jnp.int32),
+                        pltpu.VMEM((tb, rows * nd * N), jnp.int8),
+                        pltpu.VMEM((k1 * 8 * rows * TILE, W), jnp.int8),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        interpret=(jax.default_backend() != "tpu"),
+    )(lut_lo, lut_hi, r0, avals, bsk_raw64)
+    acc = acc.reshape(B, k1, 2, N)
+    return acc[:, :, 0, :], acc[:, :, 1, :]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def pbs_batch_fused64_bg(params: Params, bsk_raw64, ksk8, luts_lo, luts_hi,
+                         lut_idx, drop, cts_lo, cts_hi):
+    from fhe_regex_tpu.ops.pbs64 import (key_switch64, mod_switch64,
+                                         sample_extract64)
+    ms = mod_switch64(params, cts_lo, cts_hi)
+    acc_lo, acc_hi = blind_rotate_fused64_bg(params, bsk_raw64, luts_lo,
+                                             luts_hi, lut_idx, ms, drop)
+    big_lo, big_hi = sample_extract64(params, acc_lo, acc_hi)
+    return key_switch64(params, ksk8, big_lo, big_hi)

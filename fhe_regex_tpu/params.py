@@ -159,8 +159,38 @@ class Params:
             w += bits
         return math.sqrt(var)
 
+    def bsk_round_var(self, mask_limbs: int = 0, body_limbs: int = 0) -> float:
+        """Blind-rotation variance added by rounding bootstrap-key
+        polynomials to multiples of 256^limbs (int8-limb dropping in the
+        MXU kernels, ops/pbs_pallas.py prepare_bsk_*).
+
+        Rounding a BODY poly by delta (uniform in a 2^{8m} unit) perturbs
+        the external-product phase by d (*) delta directly:
+        N * (B^2/12) * (u^2/12) per row-step.  Rounding a MASK poly j
+        perturbs it by d (*) delta (*) s_j — the GLWE-key convolution
+        amplifies the variance by N/2 (binary key, density 1/2); this is
+        the sqrt(N/2) std amplification measured on hardware in round 2
+        (prepare_bsk_pallas docstring).  Accumulated over the n steps and
+        the (k+1)*l decomposition rows.
+        """
+        if not (mask_limbs or body_limbs):
+            return 0.0
+        n, N, k, l = (self.lwe_dimension, self.polynomial_size,
+                      self.glwe_dimension, self.pbs_level)
+        B2 = (float(self.pbs_base) ** 2) / 12.0
+        rows = (k + 1) * l
+        var = 0.0
+        if body_limbs:
+            u2 = (2.0 ** (8 * body_limbs)) ** 2 / 12.0
+            var += n * rows * N * B2 * u2
+        if mask_limbs:
+            u2 = (2.0 ** (8 * mask_limbs)) ** 2 / 12.0
+            var += n * rows * k * N * B2 * u2 * (N / 2.0)
+        return var
+
     def noise_budget_report(self, mv_norm2: "int | None" = None,
-                            fft_plan: "tuple | None" = None) -> dict:
+                            fft_plan: "tuple | None" = None,
+                            bsk_drop: "tuple[int, int] | None" = None) -> dict:
         """Analytic per-PBS noise estimate (variances in torus^2 units).
 
         Mirrors the standard TFHE noise formulas; used by tests to assert the
@@ -189,6 +219,8 @@ class Params:
         var_br = var_bsk + var_dec
         if fft_plan is not None:       # FFT-backend rounding envelope
             var_br += self.fft_noise_std(tuple(fft_plan)) ** 2
+        if bsk_drop is not None:       # key-limb rounding (mask, body)
+            var_br += self.bsk_round_var(*bsk_drop)
 
         # Keyswitch kN -> n
         eps_ks = q / (2.0 * (Bks ** lks))

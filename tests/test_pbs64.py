@@ -213,3 +213,78 @@ def test_multipattern_64bit(keys64):
     res = has_match_patterns(sk, ct, ["/b/", "/x/", "/^abc$/"])
     assert res.dtype == np.uint64 and res.shape[0] == 3
     assert [decrypt(ck, r) for r in res] == [1, 0, 1]
+
+
+def test_fused64_bg_bitexact_vs_jnp64(keys64):
+    """Batch-grid 64-bit blind rotation (pallas64-bg, VERDICT r3 #2) with
+    no limb drop == jnp64 limb path, bit-exact, at NB=1 and NB>1."""
+    from fhe_regex_tpu.ops.pbs import make_pbs_fn, prepare_server_key
+    from fhe_regex_tpu.regex.executor import _limbs_to_np, _np_to_limbs
+
+    ck, sk = keys64
+    f = lambda x: (5 * x + 2) % 16
+    msgs = [0, 1, 5, 7, 12, 15, 3, 9] * 2        # B=16 -> tb=16, NB=1
+    lut = make_lut_poly(P64, f)
+    luts = jnp.asarray(_np_to_limbs(lut[None], 64))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    cts = np.stack([lwe.encrypt_lwe(P64, ck.lwe_key, m, ck.rng) for m in msgs])
+    ctsj = jnp.asarray(_np_to_limbs(cts, 64))
+
+    ref = make_pbs_fn(prepare_server_key(P64, sk, "jnp64"))(luts, idx, ctsj)
+    dev = prepare_server_key(P64, sk, "pallas64-bg")
+    assert dev.drop64 == (0, 0)      # zero-noise set: exactness preserved
+    got = make_pbs_fn(dev)(luts, idx, ctsj)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+
+    # NB > 1: force two blocks through the explicit-DMA write pipeline
+    from fhe_regex_tpu.ops import pbs_pallas as pp
+    ms = pbs64.mod_switch64(P64, ctsj[..., 0], ctsj[..., 1])
+    one = pp.blind_rotate_fused64_bg(P64, dev.bsk_raw64, luts[..., 0],
+                                     luts[..., 1], idx, ms, (0, 0), tb=16)
+    two = pp.blind_rotate_fused64_bg(P64, dev.bsk_raw64, luts[..., 0],
+                                     luts[..., 1], idx, ms, (0, 0), tb=8)
+    assert np.array_equal(np.asarray(one[0]), np.asarray(two[0]))
+    assert np.array_equal(np.asarray(one[1]), np.asarray(two[1]))
+
+
+def test_fused64_bg_limb_drop_decrypts():
+    """Key-limb dropping (mask=1, body=1) at a NOISY small 64-bit set:
+    the rounded-key kernel must still decrypt every LUT output correctly
+    (the added noise is bounded by Params.bsk_round_var, orders below
+    delta/2 here)."""
+    import dataclasses
+    from fhe_regex_tpu.ops.pbs import make_pbs_fn, prepare_server_key
+    from fhe_regex_tpu.regex.executor import _limbs_to_np, _np_to_limbs
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+
+    P = dataclasses.replace(TEST_PARAMS_64, name="T64N",
+                            lwe_noise_std=float(1 << 20),
+                            glwe_noise_std=float(1 << 18))
+    ck, sk = gen_keys(P, seed=21)
+    f = lambda x: (3 * x + 1) % 16
+    msgs = [0, 2, 5, 7, 11, 15, 8, 4]
+    lut = make_lut_poly(P, f)
+    luts = jnp.asarray(_np_to_limbs(lut[None], 64))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    cts = np.stack([lwe.encrypt_lwe(P, ck.lwe_key, m, ck.rng) for m in msgs])
+    ctsj = jnp.asarray(_np_to_limbs(cts, 64))
+
+    dev = prepare_server_key(P, sk, "pallas64-bg", drop_limbs64=(1, 1))
+    out = make_pbs_fn(dev)(luts, idx, ctsj)
+    o = _limbs_to_np(np.asarray(out), 64)
+    got = [lwe.decrypt_lwe(P, ck.lwe_key, o[i]) for i in range(len(msgs))]
+    assert got == [f(m) % 16 for m in msgs]
+
+
+def test_drop64_gate_and_defaults():
+    """default_drop64 picks (2,2) at TPU64 (7.23 sigma, p<=2^-40), (0,0)
+    for zero-noise sets; _gate_drop64 refuses margin-breaking drops."""
+    from fhe_regex_tpu.ops.pbs import default_drop64, _gate_drop64
+    from fhe_regex_tpu.params import (TEST_PARAMS_64,
+                                      TPU64_MESSAGE_2_CARRY_2)
+
+    assert default_drop64(TPU64_MESSAGE_2_CARRY_2) == (2, 2)
+    assert default_drop64(TEST_PARAMS_64) == (0, 0)
+    with pytest.raises(ValueError, match="sigma"):
+        _gate_drop64(TPU64_MESSAGE_2_CARRY_2, (3, 3))
+    _gate_drop64(TPU64_MESSAGE_2_CARRY_2, (2, 2))   # passes
