@@ -446,13 +446,16 @@ def make_pbs_fn(dev_key: DeviceServerKey):
             return jnp.stack([out_lo, out_hi], axis=-1)
         return fn
     if dev_key.backend == "pallas64-bg":
+        import os
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64_bg
         drop64 = getattr(dev_key, "drop64", (0, 0))
+        env_tb = os.environ.get("FHE_REGEX_BG64_TB")
+        tb = int(env_tb) if env_tb else None
 
         def fn(luts, lut_idx, cts):
             out_lo, out_hi = pbs_batch_fused64_bg(
                 params, dev_key.bsk_raw64, dev_key.ksk8,
-                luts[..., 0], luts[..., 1], lut_idx, drop64,
+                luts[..., 0], luts[..., 1], lut_idx, drop64, tb,
                 cts[..., 0], cts[..., 1])
             return jnp.stack([out_lo, out_hi], axis=-1)
         return fn

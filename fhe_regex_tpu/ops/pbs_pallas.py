@@ -1746,13 +1746,14 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
     return acc[:, :, 0, :], acc[:, :, 1, :]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7))
 def pbs_batch_fused64_bg(params: Params, bsk_raw64, ksk8, luts_lo, luts_hi,
-                         lut_idx, drop, cts_lo, cts_hi):
+                         lut_idx, drop, tb, cts_lo, cts_hi):
     from fhe_regex_tpu.ops.pbs64 import (key_switch64, mod_switch64,
                                          sample_extract64)
     ms = mod_switch64(params, cts_lo, cts_hi)
     acc_lo, acc_hi = blind_rotate_fused64_bg(params, bsk_raw64, luts_lo,
-                                             luts_hi, lut_idx, ms, drop)
+                                             luts_hi, lut_idx, ms, drop,
+                                             tb=tb)
     big_lo, big_hi = sample_extract64(params, acc_lo, acc_hi)
     return key_switch64(params, ksk8, big_lo, big_hi)

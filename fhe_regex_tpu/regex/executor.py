@@ -373,8 +373,11 @@ class Executor:
     def __init__(self, params: Params, dev_key, mesh=None):
         from fhe_regex_tpu.ops.pbs import key_arrays, make_pbs_core
 
+        from fhe_regex_tpu.utils.watchdog import LaunchWatchdog
+
         self.params = params
         self.mesh = mesh
+        self.watchdog = LaunchWatchdog()
         self._dev_key = dev_key
         # the server key rides as jit ARGUMENTS, never as closure constants:
         # a closed-over key becomes an embedded HLO literal and a 362 MB
@@ -604,6 +607,7 @@ class Executor:
 
         from fhe_regex_tpu.utils.checkpoint import load_slab, save_slab
 
+        t_run0 = time.time()
         params = self.params
         n1 = params.lwe_dimension + 1
         tb = params.torus_bits
@@ -639,7 +643,14 @@ class Executor:
                 slab = self._fused_jit(self._key_args, slab, luts,
                                        tuple(devs))
             self.last_run_stats = []
-            return self._finalize(circuit, slab)
+            out = self._finalize(circuit, slab)
+            # watchdog on the fused dispatch (the round-3 1694 s anomaly
+            # was exactly this path): _finalize's host transfer blocks on
+            # the whole megarun, so the elapsed time is the real cost
+            self.watchdog.observe(
+                ("fused", circuit.pbs_count, circuit.num_slots, mv),
+                time.time() - t_run0)
+            return out
         for li in range(start_level, len(circuit.levels)):
             lv, dev = circuit.levels[li], devs[li]
             t0 = time.time() if profile else 0.0
@@ -667,7 +678,11 @@ class Executor:
                 "log2_p_fail_per_pbs": rep["log2_p_fail_per_pbs"],
                 "p_fail_circuit": params.p_fail_circuit(circuit.pbs_count),
             }
-        return self._finalize(circuit, slab)
+        out = self._finalize(circuit, slab)
+        self.watchdog.observe(
+            ("levels", circuit.pbs_count, circuit.num_slots, mv),
+            time.time() - t_run0)
+        return out
 
     def _device_chunks_many(self, circuit: "CompiledCircuit", C: int,
                             wide_batch: bool):
