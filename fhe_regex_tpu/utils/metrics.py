@@ -43,3 +43,84 @@ def speed_of_light_pbs_per_sec(params: Params, tflops: float = 197.0,
     cost = pbs_cost_model(params)
     flops = 2.0 * cost.macs_per_pbs
     return tflops * 1e12 * mxu_util / flops
+
+
+# ---------------- multi-chip communication model (VERDICT r3 #10) -------
+#
+# Real >1-chip hardware is unavailable in this environment, so the scaling
+# claim must be FALSIFIABLE instead of measured: this model predicts the
+# collective traffic and scaling efficiency of each parallelism strategy
+# (parallel/mesh.py, parallel/collective.py, parallel/tensor.py) from first
+# principles.  The day multi-chip hardware appears, benchmarks/scaling.py's
+# measured efficiency is compared against `predicted_efficiency` — a
+# mismatch falsifies the model (and the >=80% BASELINE target rests on it).
+#
+# Bandwidth anchors (public v5e specs): ICI ~ 4 x 100 GB/s links per chip
+# (use 400e9 aggregate, 45e9 per-direction per-link conservative for ring
+# collectives); DCN ~ 25 GB/s per host.  Latency floor per collective hop:
+# ~5 us (ICI) / ~50 us (DCN).
+
+
+def comm_model(params: Params, n_devices: int, batch_per_device: int,
+               *, pbs_rate_per_chip: float = 950.0,
+               ici_bw: float = 45e9, ici_lat: float = 5e-6,
+               dcn_bw: float = 25e9, dcn_lat: float = 50e-6,
+               hosts: int = 1) -> dict:
+    """Bytes-and-time model for the three parallelism strategies.
+
+    Returns per-strategy dicts with the bytes each collective moves, the
+    rounds it takes, and the predicted scaling efficiency at the given
+    per-chip bootstrap rate.
+
+    * batch (parallel/mesh.py): levels shard the PBS batch; NO steady-state
+      collective (each chip bootstraps its slice; key material replicated).
+      The only cross-chip traffic is the final OR-tree.
+    * or-tree (parallel/collective.py): ceil(log2(D)) ppermute rounds, one
+      LWE ciphertext [n+1] per device per round (x2 limb words at 64 bit),
+      plus ONE bootstrap per round per device.
+    * tensor (parallel/tensor.py): the (k+1)*l GGSW rows of each CMUX step
+      shard over D; every step psums [B, (k+1), N] int32 partials — a ring
+      all-reduce moves 2(D-1)/D of that per chip per step, n steps per PBS.
+    """
+    n = params.lwe_dimension
+    k1 = params.glwe_dimension + 1
+    N = params.polynomial_size
+    word = 4 if params.torus_bits == 32 else 8
+    D = n_devices
+    B = batch_per_device
+
+    lwe_bytes = (n + 1) * word
+    rounds = max(1, (D - 1).bit_length())
+    bw = dcn_bw if hosts > 1 else ici_bw
+    lat = dcn_lat if hosts > 1 else ici_lat
+
+    # --- OR-tree: log rounds, one ct + one bootstrap each ---
+    or_bytes = rounds * lwe_bytes
+    or_time = rounds * (lwe_bytes / bw + lat + 1.0 / pbs_rate_per_chip)
+
+    # --- batch parallelism over a whole run_many-style launch ---
+    # compute time for the local slice vs the OR-tree epilogue
+    t_compute = B / pbs_rate_per_chip
+    batch_eff = t_compute / (t_compute + or_time)
+
+    # --- tensor parallelism inside one bootstrap ---
+    psum_bytes_step = B * k1 * N * word          # the partial accumulator
+    ring = 2.0 * (D - 1) / D if D > 1 else 0.0
+    tp_bytes = n * psum_bytes_step * ring        # per chip per batched PBS
+    t_tp_comm = n * (psum_bytes_step * ring / bw + 2 * lat)
+    # MXU work divides by D; stage-1/VPU work is replicated (~15% of a
+    # launch at 32 bit, measured: 415 ms glue of ~1926 ms)
+    t_one = B / pbs_rate_per_chip
+    t_tp = t_one * 0.85 / D + t_one * 0.15 + t_tp_comm
+    tp_speedup = t_one / t_tp if t_tp > 0 else float("inf")
+
+    return {
+        "devices": D, "hosts": hosts, "word_bytes": word,
+        "or_tree": {"rounds": rounds, "bytes_per_device": or_bytes,
+                    "seconds": or_time},
+        "batch": {"steady_state_bytes": 0, "efficiency": batch_eff},
+        "tensor": {"bytes_per_chip_per_batched_pbs": tp_bytes,
+                   "psum_bytes_per_step": psum_bytes_step,
+                   "comm_seconds": t_tp_comm,
+                   "speedup_at_D": tp_speedup},
+    }
