@@ -418,13 +418,16 @@ def make_pbs_fn(dev_key: DeviceServerKey):
                                    stack, split, cts)
         return fn
     if dev_key.backend == "pallas-bg":
+        import os
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused_bg
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+        env_tb = os.environ.get("FHE_REGEX_BG_TB")
+        tb = int(env_tb) if env_tb else None
 
         def fn(luts, lut_idx, cts):
             return pbs_batch_fused_bg(params, dev_key.bsk_raw,
                                       dev_key.ksk_limbs, luts, lut_idx,
-                                      dev_key.matmul_dtype, limbs, cts)
+                                      dev_key.matmul_dtype, limbs, tb, cts)
         return fn
     if dev_key.backend == "fft":
         from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft

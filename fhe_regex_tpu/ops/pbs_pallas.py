@@ -687,8 +687,16 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
     def _():
         for comp in range(k1 - 1):
             acc_sc[:, comp * N:(comp + 1) * N] = jnp.zeros((tb, N), I32)
+        # LUT rows stay in HBM (pl.ANY), DMA'd only at i == 0: a VMEM
+        # input block would be re-fetched every (i, b) cell (~12.7 GB of
+        # dead traffic per B=1792 launch) for this single cold read
+        body = acc_sc.at[:, (k1 - 1) * N:k1 * N]
+        cp = pltpu.make_async_copy(
+            lutsel_ref.at[pl.ds(b * tb, tb), :], body, acc_sem)
+        cp.start()
+        cp.wait()
         acc_sc[:, (k1 - 1) * N:k1 * N] = negacyclic_rot(
-            lutsel_ref[:, :], r0_ref[:, :])
+            acc_sc[:, (k1 - 1) * N:k1 * N], r0_ref[:, :])
 
     @pl.when(i > 0)
     def _():
@@ -846,8 +854,7 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           width=W, matmul_dtype=matmul_dtype, limbs=limbs),
         grid=(n, NB),
         in_specs=[
-            pl.BlockSpec((tb, N), lambda i, b: (b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # lut: HBM, DMA at i==0
             pl.BlockSpec((tb, 1), lambda i, b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, 1), lambda i, b: (i, b, 0),
@@ -870,12 +877,12 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
     return acc.reshape(B, k1, N)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
 def pbs_batch_fused_bg(params: Params, bsk_raw, ksk_limbs, luts, lut_idx,
-                       matmul_dtype, limbs, cts):
+                       matmul_dtype, limbs, tb, cts):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused_bg(params, bsk_raw, luts, lut_idx, ms,
-                                matmul_dtype, limbs)
+                                matmul_dtype, limbs, tb=tb)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 
@@ -1524,8 +1531,25 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
         for comp in range(k1 - 1):
             acc_sc[:, (comp * 2) * N:(comp * 2 + 2) * N] = (
                 jnp.zeros((tb, 2 * N), I32))
-        rlo, rhi = rot64(lutsel_lo_ref[:, :], lutsel_hi_ref[:, :],
-                         r0_ref[:, :])
+        # the LUT limb rows live in HBM (pl.ANY) and are DMA'd ONLY here:
+        # a VMEM input block would be re-fetched every (i, b) cell by the
+        # pipeliner (~29 GB of dead HBM traffic per B=2048 launch) to
+        # serve this single i == 0 read.  Stage them into the body slots
+        # of acc_sc and rotate in place.
+        blo = acc_sc.at[:, ((k1 - 1) * 2) * N:((k1 - 1) * 2 + 1) * N]
+        bhi = acc_sc.at[:, ((k1 - 1) * 2 + 1) * N:((k1 - 1) * 2 + 2) * N]
+        cp = pltpu.make_async_copy(
+            lutsel_lo_ref.at[pl.ds(b * tb, tb), :], blo, acc_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(
+            lutsel_hi_ref.at[pl.ds(b * tb, tb), :], bhi, acc_sem)
+        cp.start()
+        cp.wait()
+        rlo, rhi = rot64(
+            acc_sc[:, ((k1 - 1) * 2) * N:((k1 - 1) * 2 + 1) * N],
+            acc_sc[:, ((k1 - 1) * 2 + 1) * N:((k1 - 1) * 2 + 2) * N],
+            r0_ref[:, :])
         acc_sc[:, ((k1 - 1) * 2) * N:((k1 - 1) * 2 + 1) * N] = rlo
         acc_sc[:, ((k1 - 1) * 2 + 1) * N:((k1 - 1) * 2 + 2) * N] = rhi
 
@@ -1719,10 +1743,8 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
                           drop=tuple(drop)),
         grid=(n, NB),
         in_specs=[
-            pl.BlockSpec((tb, N), lambda i, b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, N), lambda i, b: (b, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # lut lo: HBM, DMA at i==0
+            pl.BlockSpec(memory_space=pl.ANY),   # lut hi: HBM, DMA at i==0
             pl.BlockSpec((tb, 1), lambda i, b: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, 1), lambda i, b: (i, b, 0),

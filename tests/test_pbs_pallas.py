@@ -145,7 +145,7 @@ def test_bg_blindrot_production_geometry():
     from fhe_regex_tpu.ops.pbs import key_arrays
     dev = prepare_server_key(P, sk, "pallas-bg")
     got = pp.pbs_batch_fused_bg(P, dev.bsk_raw, dev.ksk_limbs, luts, idx,
-                                dev.matmul_dtype, dev.limbs, ctsj)
+                                dev.matmul_dtype, dev.limbs, None, ctsj)
     # force NB=3 blocks of 8 explicitly through the tb override
     from fhe_regex_tpu.ops.pbs import mod_switch, sample_extract
     acc = pp.blind_rotate_fused_bg(P, dev.bsk_raw, luts, idx,
