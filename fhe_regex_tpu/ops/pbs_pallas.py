@@ -83,8 +83,12 @@ def prepare_bsk_pallas(params: Params, bsk: np.ndarray,
     (total ~2^27.5 at full parameters vs the 2^26 margin), so drop_limbs=1
     FAILS correctness at TPU_MESSAGE_2_CARRY_2.  Safe only where
     sqrt(866 * N/2) * 74 * sqrt(6 * N * B^2/12) stays well under delta/2
-    (e.g. the small test sets).  Kept as an experimental knob; a body-only
-    variant (no key amplification, ~12.5% MACs) is the viable follow-up.
+    (e.g. the small test sets).  Round 4 settled the body-only follow-up
+    with the formal model (Params.bsk_round_var, tests/test_pfail.py):
+    body-only is ALSO unsafe at 32 bits (1.60 sigma — the 2^8/sqrt(12)
+    rounding noise dwarfs sigma_glwe=3.2), but at the 64-bit sets the
+    keyswitch noise floor makes (mask 2, body 2) free — implemented
+    margin-gated in the pallas64-bg kernel (prepare_bsk_fused64_raw drop).
     """
     N = params.polynomial_size
     g = bsk.view(np.int32).astype(np.int64)
@@ -811,9 +815,15 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
         cp.wait()
 
 
-def _bg_block(B: int, cap: int = 256) -> "int | None":
+def _bg_block(B: int, cap: int = 512) -> "int | None":
     """Largest tb <= cap with B % tb == 0 and tb % 8 == 0; None if none.
-    (Explicit DMA ordering makes any NB >= 1 safe.)"""
+    (Explicit DMA ordering makes any NB >= 1 safe.)
+
+    cap=512 (round 4): bigger blocks measured faster on both bg kernels —
+    32-bit B=1792: tb=448 897.5 vs tb=256 879.0 pbs/s; 64-bit B=2048:
+    tb=512 689.1 vs tb=256 669-676 — fewer cells amortize the per-cell
+    fixed costs, and the VMEM budget fits with room (~60 MB at 32-bit,
+    ~75 MB at 64-bit)."""
     for tb in range(min(cap, B), 7, -8):
         if B % tb == 0:
             return tb

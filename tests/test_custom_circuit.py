@@ -120,6 +120,9 @@ def test_default_fuse_size_cap(monkeypatch):
     class FakeCircuit:
         def __init__(self, pbs_count):
             self.pbs_count = pbs_count
+            # classic circuits: rotations == bootstraps (the advisor-r3 fix
+            # caps fusing on rotation_count, which is smaller under mv)
+            self.rotation_count = pbs_count
 
     small = FakeCircuit(ex_mod.FUSE_MAX_PBS)
     big = FakeCircuit(ex_mod.FUSE_MAX_PBS + 1)
