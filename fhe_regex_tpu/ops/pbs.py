@@ -491,6 +491,7 @@ def key_arrays(dev_key: DeviceServerKey) -> tuple:
         "fft": ("bsk_spec", "ksk_limbs"),
         "jnp64": ("bsk8", "ksk8"),
         "pallas64": ("bsk8f", "ksk8"),
+        "pallas64-bg": ("bsk_raw64", "ksk8"),
     }[dev_key.backend]
     return tuple(getattr(dev_key, n) for n in names)
 
@@ -524,12 +525,15 @@ def make_pbs_core(dev_key: DeviceServerKey):
                                    cts)
         return core
     if backend == "pallas-bg":
+        import os
         from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused_bg
         limbs = getattr(dev_key, "limbs", (0, 1, 2, 3))
+        env_tb = os.environ.get("FHE_REGEX_BG_TB")
+        tb = int(env_tb) if env_tb else None
 
         def core(key, luts, lut_idx, cts):
             return pbs_batch_fused_bg(params, key[0], key[1], luts, lut_idx,
-                                      dev_key.matmul_dtype, limbs, cts)
+                                      dev_key.matmul_dtype, limbs, tb, cts)
         return core
     if backend == "fft":
         from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft
@@ -557,6 +561,19 @@ def make_pbs_core(dev_key: DeviceServerKey):
             out_lo, out_hi = pbs_batch_fused64(
                 params, key[0], key[1], luts[..., 0], luts[..., 1],
                 lut_idx, stack, cts[..., 0], cts[..., 1])
+            return jnp.stack([out_lo, out_hi], axis=-1)
+        return core
+    if backend == "pallas64-bg":
+        import os
+        from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused64_bg
+        drop64 = getattr(dev_key, "drop64", (0, 0))
+        env_tb = os.environ.get("FHE_REGEX_BG64_TB")
+        tb = int(env_tb) if env_tb else None
+
+        def core(key, luts, lut_idx, cts):
+            out_lo, out_hi = pbs_batch_fused64_bg(
+                params, key[0], key[1], luts[..., 0], luts[..., 1],
+                lut_idx, drop64, tb, cts[..., 0], cts[..., 1])
             return jnp.stack([out_lo, out_hi], axis=-1)
         return core
     raise ValueError(backend)

@@ -173,3 +173,30 @@ def test_pallas_drop_limbs_fast_mode(noisy_keys):
     o = np.asarray(out).view(np.uint32)
     got = [lwe.decrypt_lwe(P, ck.lwe_key, o[i]) for i in range(8)]
     assert got == [15 - m for m in msgs]
+
+
+def test_executor_runs_on_bg_backends(keys):
+    """End-to-end has_match through the EXECUTOR on the batch-grid
+    backends (make_pbs_core integration — the bench path exercises
+    make_pbs_fn, which is a different code path; round 4 caught a stale
+    core signature here)."""
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from fhe_regex_tpu.params import TEST_PARAMS
+
+    ck, sk = keys
+    ct = trivial_encrypt_str(TEST_PARAMS, "abc")
+    res = has_match(sk, ct, "/b/", backend="pallas-bg")
+    assert decrypt(ck, res) == 1
+    res = has_match(sk, ct, "/xq/", backend="pallas-bg")
+    assert decrypt(ck, res) == 0
+
+
+def test_executor_runs_on_bg64_backend():
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+
+    ck, sk = gen_keys(TEST_PARAMS_64, seed=17)
+    ct = trivial_encrypt_str(TEST_PARAMS_64, "ab")
+    res = has_match(sk, ct, "/ab/", backend="pallas64-bg")
+    assert decrypt(ck, res) == 1
