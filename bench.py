@@ -162,7 +162,10 @@ def _default_ladder(params, on_tpu):
                  or ("jnp64" if params.torus_bits == 64 else "jnp"),
                  int(os.environ.get("BENCH_BATCH", "8")))]
     if params.torus_bits == 64:
-        return [("pallas64", 256), ("pallas64", 1024), ("pallas64", 1024)]
+        # batch-grid 64-bit kernel (round 4): ONE B-independent Mosaic
+        # executable serves the whole ladder; B=2048/tb=512 measured best
+        return [("pallas64-bg", 1024), ("pallas64-bg", 2048),
+                ("pallas64-bg", 2048), ("pallas64-bg", 2048)]
     # The final shape is sampled 3x: per-run relay jitter swings a
     # measurement by ~2% (observed 924.7-944.7 at B=1792 within one hour)
     # and the parent records the best completed stage, so extra samples
