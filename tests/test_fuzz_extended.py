@@ -25,6 +25,20 @@ from test_oracle_fuzz import OracleBudgetExceeded, oracle_match
 BUDGET = 200_000
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_compiled_programs_after_module():
+    """Every fuzz seed compiles a unique circuit; ~170 of them bloat the
+    in-process XLA:CPU executable cache enough that a later LARGE sharded
+    compile (test_multivalue/test_native_circuit) can segfault inside
+    backend_compile_and_load (observed 3x in round-4 full-suite runs; each
+    victim passes standalone).  Dropping the caches when this module ends
+    keeps the process within what the CPU compiler tolerates."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 # ---------------- hard-weighted generators ----------------
 
 
