@@ -106,10 +106,16 @@ class MatchService:
                     "fold": fold, "multivalue": mv, "positions": pos,
                     "lengths": lengths,
                 })
+        wd = getattr(self.executor, "watchdog", None)
         with self._stats_lock:
             return {
                 "requests": {k: dict(v) for k, v in self._requests.items()},
                 "programs": programs,
+                # dispatch-watchdog view: per-launch-shape EMA seconds
+                # (utils/watchdog.py; anomalies are logged as warnings)
+                "launch_ema_s": ({str(k): round(v, 4)
+                                  for k, v in wd._ema.items()}
+                                 if wd is not None else {}),
                 "last_profile": self._last_profile,
             }
 

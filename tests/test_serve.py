@@ -182,3 +182,7 @@ def test_stats_endpoint(server, keys):
     assert prof["pattern"] == "/ab/" and prof["content_len"] == 3
     assert len(prof["levels"]) > 0
     assert all("seconds" in lv and "width" in lv for lv in prof["levels"])
+    # failure-probability contract + watchdog observability (round 4)
+    assert 0.0 <= row["p_fail_circuit"] <= 1.0
+    assert prof["p_fail"] is None or prof["p_fail"]["pbs_count"] > 0
+    assert isinstance(stats["launch_ema_s"], dict)  # fed after 2+ runs
