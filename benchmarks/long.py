@@ -30,7 +30,8 @@ def main():
     from bench import _get_keys
 
     on_tpu = jax.default_backend() == "tpu"
-    params = get_params("TPU_MESSAGE_2_CARRY_2" if on_tpu else "TEST_PARAMS")
+    params = get_params(os.environ.get(
+        "LONG_PARAMS", "TPU_MESSAGE_2_CARRY_2" if on_tpu else "TEST_PARAMS"))
     L = int(os.environ.get("LONG_LEN", "256" if on_tpu else "64"))
     W = int(os.environ.get("LONG_WINDOW", "64" if on_tpu else "16"))
     pattern = os.environ.get("LONG_PATTERN", "/abc/")

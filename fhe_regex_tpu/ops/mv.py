@@ -46,7 +46,8 @@ from fhe_regex_tpu.params import Params
 
 I32 = jnp.int32
 
-MV_BACKENDS = ("jnp", "pallas", "pallas-fused", "jnp64", "pallas64")
+MV_BACKENDS = ("jnp", "pallas", "pallas-fused", "jnp64", "pallas64",
+               "pallas64-bg")
 
 
 def mv_lut_table(params: Params) -> np.ndarray:
@@ -70,12 +71,17 @@ def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts):
     params = dev_key.params
     backend = dev_key.backend
     idx = jnp.zeros(cts.shape[0], I32)
-    if backend in ("jnp64", "pallas64"):
+    if backend in ("jnp64", "pallas64", "pallas64-bg"):
         from fhe_regex_tpu.ops import pbs64 as p64
         ms = p64.mod_switch64(params, cts[..., 0], cts[..., 1])
         if backend == "jnp64":
             lo, hi = p64.blind_rotate64(params, key[0], vlut[..., 0],
                                         vlut[..., 1], idx, ms)
+        elif backend == "pallas64-bg":
+            from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64_bg
+            lo, hi = blind_rotate_fused64_bg(
+                params, key[0], vlut[..., 0], vlut[..., 1], idx, ms,
+                getattr(dev_key, "drop64", (0, 0)))
         else:
             from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64
             lo, hi = blind_rotate_fused64(params, key[0], vlut[..., 0],
@@ -103,7 +109,7 @@ def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts):
 
 def _key_switch(dev_key: DeviceServerKey, key, big):
     params = dev_key.params
-    if dev_key.backend in ("jnp64", "pallas64"):
+    if dev_key.backend in ("jnp64", "pallas64", "pallas64-bg"):
         from fhe_regex_tpu.ops.pbs64 import key_switch64
         out_lo, out_hi = key_switch64(params, key[1], big[..., 0],
                                       big[..., 1])

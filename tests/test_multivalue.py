@@ -438,3 +438,20 @@ def test_multivalue_run_many_sharded(keys):
     cts = np.stack([trivial_encrypt_str(TEST_PARAMS, c) for c in contents])
     res = ex.run_many(circuit, cts, wide_batch=False)
     assert [decrypt(ck, res[i]) for i in range(4)] == [1, 0, 1, 0]
+
+
+def test_multivalue_on_pallas64_bg():
+    """mv plans through the batch-grid 64-bit backend (the round-4 default
+    on TPU — the windowed/serving auto-mv path must not reject it)."""
+    from fhe_regex_tpu import decrypt, has_match, trivial_encrypt_str
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+
+    ck, sk = gen_keys(TEST_PARAMS_64, seed=17)
+    ct = trivial_encrypt_str(TEST_PARAMS_64, "bd")
+    res = has_match(sk, ct, "/^[a-d]d$/", backend="pallas64-bg",
+                    multivalue=True)
+    assert decrypt(ck, res) == 1
+    res = has_match(sk, trivial_encrypt_str(TEST_PARAMS_64, "xz"),
+                    "/^[a-d]d$/", backend="pallas64-bg", multivalue=True)
+    assert decrypt(ck, res) == 0
