@@ -35,7 +35,8 @@ def main():
     from bench import _get_keys
 
     on_tpu = jax.default_backend() == "tpu"
-    params = get_params("TPU_MESSAGE_2_CARRY_2" if on_tpu else "TEST_PARAMS")
+    params = get_params(os.environ.get(
+        "MV_PARAMS", "TPU_MESSAGE_2_CARRY_2" if on_tpu else "TEST_PARAMS"))
     C = int(os.environ.get("SERVE_BATCH", "32" if on_tpu else "4"))
     pattern = os.environ.get("MV_PATTERN", "/^(ab|cd)[a-z]{3,}e?$/i")
     base = os.environ.get("MV_CONTENT", "cdqrstuv" + "x" * 55 + "e")

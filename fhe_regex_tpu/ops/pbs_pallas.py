@@ -815,15 +815,16 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
         cp.wait()
 
 
-def _bg_block(B: int, cap: int = 512) -> "int | None":
+def _bg_block(B: int, cap: int = 896) -> "int | None":
     """Largest tb <= cap with B % tb == 0 and tb % 8 == 0; None if none.
     (Explicit DMA ordering makes any NB >= 1 safe.)
 
-    cap=512 (round 4): bigger blocks measured faster on both bg kernels —
-    32-bit B=1792: tb=448 897.5 vs tb=256 879.0 pbs/s; 64-bit B=2048:
-    tb=512 689.1 vs tb=256 669-676 — fewer cells amortize the per-cell
-    fixed costs, and the VMEM budget fits with room (~60 MB at 32-bit,
-    ~75 MB at 64-bit)."""
+    Bigger blocks measured faster on both bg kernels (fewer cells amortize
+    the per-cell fixed costs and the MXU dot M-dimension grows): 32-bit
+    B=1792 ladder tb=256/448/896 -> 879.0/897.5/911.5 pbs/s (cap 896 =
+    the VMEM ceiling: ~105 MB; tb=1792 would need >127 MB).  The 64-bit
+    kernel's (lo, hi) accumulator doubles the scratch, so its cap is 512
+    (~75 MB; tb=1024 needs 134 MB) — callers pass it explicitly."""
     for tb in range(min(cap, B), 7, -8):
         if B % tb == 0:
             return tb
@@ -1732,11 +1733,11 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
     B = cts_ms.shape[0]
     nd = n_digit_limbs(params.pbs_base_log)
     if tb is None:
-        tb = _bg_block(B)
+        tb = _bg_block(B, cap=512)     # (lo, hi) scratch: see _bg_block
     if tb is None:
         raise ValueError(
-            f"batch-grid kernel needs B divisible into 8-aligned blocks of "
-            f"<= 256 (got B={B}); use the monolithic pallas64 instead")
+            f"batch-grid kernel needs B divisible into 8-aligned blocks "
+            f"(got B={B}); use the monolithic pallas64 instead")
     NB = B // tb
     assert 64 - params.pbs_base_log * level >= 33
 
