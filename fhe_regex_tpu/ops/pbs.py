@@ -395,6 +395,12 @@ def _gate_drop64(params: Params, drop) -> None:
             f"bsk limb drop {tuple(drop)} leaves {dropped:.2f} sigma "
             f"(< {MIN_SIGMA_MARGIN}) at {params.name}; see "
             f"Params.bsk_round_var")
+    if dropped < 1.0:
+        # even on sets that were already sub-5-sigma (bench/parity use),
+        # a drop this deep produces certainly-wrong results, not risk
+        raise ValueError(
+            f"bsk limb drop {tuple(drop)} leaves {dropped:.2f} sigma at "
+            f"{params.name} — results would be garbage, refusing")
 
 
 def make_pbs_fn(dev_key: DeviceServerKey):

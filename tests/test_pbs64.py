@@ -288,3 +288,15 @@ def test_drop64_gate_and_defaults():
     with pytest.raises(ValueError, match="sigma"):
         _gate_drop64(TPU64_MESSAGE_2_CARRY_2, (3, 3))
     _gate_drop64(TPU64_MESSAGE_2_CARRY_2, (2, 2))   # passes
+
+
+def test_drop64_gate_refuses_garbage_even_on_unsafe_sets():
+    """REF64 is already sub-5-sigma (bench/parity use) so the margin gate
+    can't fire — but a drop leaving <1 sigma means certainly-wrong
+    results and must be refused regardless."""
+    from fhe_regex_tpu.ops.pbs import _gate_drop64
+    from fhe_regex_tpu.params import REF_MESSAGE_2_CARRY_2_64
+
+    with pytest.raises(ValueError, match="garbage"):
+        _gate_drop64(REF_MESSAGE_2_CARRY_2_64, (3, 3))
+    _gate_drop64(REF_MESSAGE_2_CARRY_2_64, (1, 1))   # risky-but-sane: allowed
