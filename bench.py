@@ -163,7 +163,12 @@ def _default_ladder(params, on_tpu):
                  int(os.environ.get("BENCH_BATCH", "8")))]
     if params.torus_bits == 64:
         # batch-grid 64-bit kernel (round 4): ONE B-independent Mosaic
-        # executable serves the whole ladder; B=2048/tb=512 measured best
+        # executable serves the whole ladder; B=2048/tb=512 measured best.
+        # The raw bench is a classic-only workload, so it opts into the
+        # deeper (2,2) key-limb drop (7.23 sigma, p<=2^-40); the
+        # engine-wide default is the mv-compatible (1,2) — see
+        # ops/pbs.py::default_drop64.
+        os.environ.setdefault("FHE_REGEX_DROP64", "2,2")
         return [("pallas64-bg", 1024), ("pallas64-bg", 2048),
                 ("pallas64-bg", 2048), ("pallas64-bg", 2048)]
     # The final shape is sampled 3x: per-run relay jitter swings a

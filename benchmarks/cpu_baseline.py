@@ -40,6 +40,7 @@ def main():
     ck, _ = client_key_from_fixture(seed=424242)
     params = ck.params
     cache = Path(__file__).resolve().parents[1] / ".cache" / "refkey_server.npz"
+    cache.parent.mkdir(exist_ok=True)
     if cache.exists():
         z = np.load(cache)
         sk = ServerKey(params=params, bsk=z["bsk"], ksk=z["ksk"])

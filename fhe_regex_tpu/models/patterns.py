@@ -87,18 +87,21 @@ class CompiledPattern:
                                  np.ascontiguousarray(ct_contents))
 
     def stats(self, content_len: int) -> dict:
+        from fhe_regex_tpu.regex.executor import circuit_pfail
+
         c = self.circuit(content_len)
-        rep = self.params.noise_budget_report()
+        # failure-probability contract at the engine's actual operating
+        # point (mv norm + active key-limb drop; non-finite log2 -> None
+        # so serve.py responses stay strict JSON)
+        pf = circuit_pfail(self.params, c)
         return {
             "ct_ops": c.ct_ops,
             "cache_hits": c.cache_hits,
             "bootstraps": c.pbs_count,
             "rotations": c.rotation_count,
             "levels": len(c.levels),
-            # failure-probability contract (params.py): worst-case per-PBS
-            # tail and the union bound over this circuit's bootstraps
-            "log2_p_fail_per_pbs": rep["log2_p_fail_per_pbs"],
-            "p_fail_circuit": self.params.p_fail_circuit(c.pbs_count),
+            "log2_p_fail_per_pbs": pf["log2_p_fail_per_pbs"],
+            "p_fail_circuit": pf["p_fail_circuit"],
         }
 
 

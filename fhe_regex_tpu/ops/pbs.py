@@ -359,10 +359,23 @@ def prepare_server_key(params: Params, server_key,
     raise ValueError(f"unknown backend {backend!r}")
 
 
+# Largest ||u||^2 over the production LUT factors (ops/mv.py mv_weights;
+# the gt/le combine factor) — the default drop must keep THIS margin >= 5
+# sigma too, or multivalue circuits on the dropped key would be
+# margin-rejected (advisor round 4: the r3 figure of 5.41 sigma for mv-12
+# assumed an undropped key).
+WORST_PRODUCTION_MV_NORM2 = 12
+
+
 def default_drop64(params: Params) -> tuple:
-    """Largest symmetric key-limb drop keeping the >=5-sigma LUT margin
-    AND p_fail <= 2^-40 (so limb dropping never relaxes the failure
-    contract).  FHE_REGEX_DROP64="m,b" overrides."""
+    """Largest key-limb drop keeping (a) the classic >=5-sigma LUT margin
+    AND p_fail <= 2^-40, and (b) >=5 sigma at the worst production
+    multivalue factor norm — so the default key serves EVERY engine path.
+    At TPU64 this picks (1, 2): the 2-limb MASK drop is what the mv norm
+    amplifies (its rounding rides the N/2 key convolution), so (2, 2)
+    would leave mv-12 at 4.95 sigma.  Classic-only deployments (and the
+    raw bench) opt into (2, 2) via FHE_REGEX_DROP64=2,2 for ~9% more
+    MXU saving."""
     import os
 
     env = os.environ.get("FHE_REGEX_DROP64")
@@ -372,10 +385,13 @@ def default_drop64(params: Params) -> tuple:
     from fhe_regex_tpu.params import MIN_SIGMA_MARGIN
     if params.lwe_noise_std == 0.0 and params.glwe_noise_std == 0.0:
         return (0, 0)       # zero-noise test sets: keep bit-exactness
-    for cand in ((2, 2), (1, 1)):
+    for cand in ((2, 2), (1, 2), (1, 1)):
         rep = params.noise_budget_report(bsk_drop=cand)
+        mv = params.noise_budget_report(
+            bsk_drop=cand, mv_norm2=WORST_PRODUCTION_MV_NORM2)
         if (rep["sigma_margin"] >= MIN_SIGMA_MARGIN
-                and rep["log2_p_fail_per_pbs"] <= -40.0):
+                and rep["log2_p_fail_per_pbs"] <= -40.0
+                and mv["sigma_margin"] >= MIN_SIGMA_MARGIN):
             return cand
     return (0, 0)
 

@@ -831,6 +831,18 @@ def _bg_block(B: int, cap: int = 896) -> "int | None":
     return None
 
 
+def _check_bg_tb(B: int, tb: int) -> None:
+    """Validate an EXPLICIT batch block (FHE_REGEX_BG_TB/BG64_TB or a tb=
+    kwarg): grid = (n, B // tb) silently drops the batch tail if tb does
+    not divide B — the untouched HBM output rows would decrypt to garbage
+    with no error (advisor round 4)."""
+    if tb <= 0 or tb % 8 != 0 or B % tb != 0 or tb > B:
+        raise ValueError(
+            f"batch block tb={tb} invalid for B={B}: need 8 | tb, "
+            f"tb | B, 0 < tb <= B (every block must cover the batch "
+            f"exactly — a remainder would be silently dropped)")
+
+
 def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
                           tb: "int | None" = None):
@@ -849,8 +861,9 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
         tb = _bg_block(B)
     if tb is None:
         raise ValueError(
-            f"batch-grid kernel needs B divisible into 8-aligned blocks of "
-            f"<= 256 (got B={B}); use the monolithic fused kernel instead")
+            f"batch-grid kernel needs B divisible into 8-aligned blocks "
+            f"(got B={B}); use the monolithic fused kernel instead")
+    _check_bg_tb(B, tb)
     NB = B // tb
 
     lut_sel = luts[lut_idx].astype(I32)                          # [B, N]
@@ -1738,6 +1751,7 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
         raise ValueError(
             f"batch-grid kernel needs B divisible into 8-aligned blocks "
             f"(got B={B}); use the monolithic pallas64 instead")
+    _check_bg_tb(B, tb)
     NB = B // tb
     assert 64 - params.pbs_base_log * level >= 33
 

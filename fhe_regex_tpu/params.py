@@ -265,15 +265,19 @@ class Params:
         }
 
     def p_fail_circuit(self, pbs_count: int,
-                       mv_norm2: "int | None" = None) -> float:
+                       mv_norm2: "int | None" = None,
+                       bsk_drop: "tuple | None" = None) -> float:
         """Upper bound on whole-circuit failure: 1 - (1-p)^pbs_count.
 
         Every bootstrap in a circuit must land in the correct LUT slot for
         the decrypted result to be exact; a union bound over ``pbs_count``
         worst-case-input bootstraps gives the per-run contract surfaced in
-        ``Executor.run(profile=True)`` and serve.py ``/stats``.
+        ``Executor.run(profile=True)`` and serve.py ``/stats``.  Pass the
+        circuit's worst mv factor norm and the backend's active key-limb
+        drop so the bound reflects the engine's REAL operating point.
         """
-        p = self.noise_budget_report(mv_norm2=mv_norm2)["p_fail_per_pbs"]
+        p = self.noise_budget_report(
+            mv_norm2=mv_norm2, bsk_drop=bsk_drop)["p_fail_per_pbs"]
         if p * pbs_count < 1e-12:
             return p * pbs_count          # exact to f64 in this regime
         return 1.0 - (1.0 - p) ** pbs_count

@@ -166,6 +166,52 @@ def default_min_bucket() -> int:
 FUSE_MAX_PBS = 1500
 
 
+def active_bsk_drop(params: Params) -> "tuple | None":
+    """The key-limb drop the DEFAULT backend for these params applies
+    (pallas64-bg at 64 bits on TPU).  Used so noise gates and p_fail
+    reporting reflect the real operating point — not the undropped key
+    (advisor round 4)."""
+    if params.torus_bits != 64:
+        return None
+    from fhe_regex_tpu.ops.pbs import default_drop64
+    drop = default_drop64(params)
+    return drop if drop != (0, 0) else None
+
+
+def worst_mv_norm2(circuit) -> "int | None":
+    """Largest ||u||^2 over the circuit's multivalue LUT factors (the
+    blind-rotation variance amplifier), or None for classic circuits."""
+    if not getattr(circuit, "multivalue", False):
+        return None
+    worst = 0
+    for lv in circuit.levels:
+        if lv.mv_weights is not None and lv.mv_weights.size:
+            worst = max(worst, int(
+                (lv.mv_weights.astype(np.int64) ** 2).sum(axis=1).max()))
+    return worst or None
+
+
+def circuit_pfail(params: Params, circuit) -> dict:
+    """The failure-probability contract at the engine's actual operating
+    point: includes the default backend's key-limb drop and the circuit's
+    worst mv factor norm.  Non-finite log2 values (zero-noise test sets)
+    are reported as None so the dict stays strict-JSON-serializable."""
+    import math
+
+    drop = active_bsk_drop(params)
+    mvn = worst_mv_norm2(circuit)
+    rep = params.noise_budget_report(mv_norm2=mvn, bsk_drop=drop)
+    lp = rep["log2_p_fail_per_pbs"]
+    return {
+        "pbs_count": circuit.pbs_count,
+        "mv_norm2": mvn,
+        "bsk_drop": list(drop) if drop else None,
+        "log2_p_fail_per_pbs": lp if math.isfinite(lp) else None,
+        "p_fail_circuit": params.p_fail_circuit(
+            circuit.pbs_count, mv_norm2=mvn, bsk_drop=drop),
+    }
+
+
 def default_fuse(circuit) -> bool:
     """Default for Executor.run(fuse=None): megarun on TPU below the
     size cap; FHE_REGEX_FUSE_LEVELS=0|1 forces either way."""
@@ -327,7 +373,11 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
         if wv is None:
             wv = wcache[op.lut] = mv_weights(params, op.lut)
             u2 = int((wv.astype(np.int64) ** 2).sum())
-            rep = params.noise_budget_report(mv_norm2=u2)
+            # gate at the REAL operating point: the default 64-bit backend
+            # rounds the bootstrap key (active_bsk_drop), and that term is
+            # amplified by the mv norm too (advisor round 4)
+            rep = params.noise_budget_report(
+                mv_norm2=u2, bsk_drop=active_bsk_drop(params))
             if rep["sigma_margin"] < 5.0:
                 raise MvMarginError(
                     f"multivalue factor of LUT {op.lut!r} has ||u||^2={u2}, "
@@ -669,15 +719,9 @@ class Executor:
                 save_slab(checkpoint, np.asarray(slab), li + 1)
         self.last_run_stats = stats
         if profile:
-            # failure-probability contract for this run (params.py):
-            # union bound over the circuit's bootstraps at the worst-case
-            # per-PBS tail probability
-            rep = params.noise_budget_report()
-            self.last_run_pfail = {
-                "pbs_count": circuit.pbs_count,
-                "log2_p_fail_per_pbs": rep["log2_p_fail_per_pbs"],
-                "p_fail_circuit": params.p_fail_circuit(circuit.pbs_count),
-            }
+            # failure-probability contract for this run, at the engine's
+            # actual operating point (mv norm + active key-limb drop)
+            self.last_run_pfail = circuit_pfail(params, circuit)
         out = self._finalize(circuit, slab)
         self.watchdog.observe(
             ("levels", circuit.pbs_count, circuit.num_slots, mv),

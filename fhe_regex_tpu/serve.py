@@ -113,9 +113,7 @@ class MatchService:
                 "programs": programs,
                 # dispatch-watchdog view: per-launch-shape EMA seconds
                 # (utils/watchdog.py; anomalies are logged as warnings)
-                "launch_ema_s": ({str(k): round(v, 4)
-                                  for k, v in wd._ema.items()}
-                                 if wd is not None else {}),
+                "launch_ema_s": wd.snapshot() if wd is not None else {},
                 "last_profile": self._last_profile,
             }
 

@@ -90,7 +90,7 @@ def comm_model(params: Params, n_devices: int, batch_per_device: int,
     B = batch_per_device
 
     lwe_bytes = (n + 1) * word
-    rounds = max(1, (D - 1).bit_length())
+    rounds = (D - 1).bit_length()          # ceil(log2 D); 0 at D == 1
     bw = dcn_bw if hosts > 1 else ici_bw
     lat = dcn_lat if hosts > 1 else ici_lat
 

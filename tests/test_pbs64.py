@@ -283,8 +283,18 @@ def test_drop64_gate_and_defaults():
     from fhe_regex_tpu.params import (TEST_PARAMS_64,
                                       TPU64_MESSAGE_2_CARRY_2)
 
-    assert default_drop64(TPU64_MESSAGE_2_CARRY_2) == (2, 2)
+    # (1,2): the deepest drop that ALSO keeps the worst production mv
+    # factor (norm^2=12) >= 5 sigma — (2,2)'s 2-limb MASK drop leaves
+    # mv-12 at 4.95 sigma (classic-only workloads opt into (2,2) via env)
+    assert default_drop64(TPU64_MESSAGE_2_CARRY_2) == (1, 2)
     assert default_drop64(TEST_PARAMS_64) == (0, 0)
+    monkey_env = dict(__import__("os").environ)
+    try:
+        __import__("os").environ["FHE_REGEX_DROP64"] = "2,2"
+        assert default_drop64(TPU64_MESSAGE_2_CARRY_2) == (2, 2)
+    finally:
+        __import__("os").environ.clear()
+        __import__("os").environ.update(monkey_env)
     with pytest.raises(ValueError, match="sigma"):
         _gate_drop64(TPU64_MESSAGE_2_CARRY_2, (3, 3))
     _gate_drop64(TPU64_MESSAGE_2_CARRY_2, (2, 2))   # passes

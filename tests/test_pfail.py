@@ -132,3 +132,23 @@ def test_bsk_limb_drop_margins():
         bsk_drop=(0, 3))["sigma_margin"] < MIN_SIGMA_MARGIN)
     assert (TPU64_MESSAGE_2_CARRY_2.noise_budget_report(
         bsk_drop=(3, 3))["sigma_margin"] < 1.0)
+
+
+def test_default_drop_keeps_the_mv_margin():
+    """The engine-wide 64-bit drop default must serve EVERY path: classic
+    contract (>=5 sigma, p<=2^-40) AND the worst production multivalue
+    factor (norm^2=12) at >=5 sigma.  (2,2) fails the latter (4.95) —
+    its mask rounding rides the N/2 key convolution that mv amplifies."""
+    from fhe_regex_tpu.ops.pbs import WORST_PRODUCTION_MV_NORM2, default_drop64
+
+    d = default_drop64(TPU64_MESSAGE_2_CARRY_2)
+    rep = TPU64_MESSAGE_2_CARRY_2.noise_budget_report(bsk_drop=d)
+    mv = TPU64_MESSAGE_2_CARRY_2.noise_budget_report(
+        bsk_drop=d, mv_norm2=WORST_PRODUCTION_MV_NORM2)
+    assert rep["sigma_margin"] >= MIN_SIGMA_MARGIN
+    assert rep["log2_p_fail_per_pbs"] <= -40.0
+    assert mv["sigma_margin"] >= MIN_SIGMA_MARGIN
+    # and the classic-only point (2,2) is exactly the one mv rejects
+    mv22 = TPU64_MESSAGE_2_CARRY_2.noise_budget_report(
+        bsk_drop=(2, 2), mv_norm2=WORST_PRODUCTION_MV_NORM2)
+    assert mv22["sigma_margin"] < MIN_SIGMA_MARGIN
