@@ -24,7 +24,8 @@ from fhe_regex_tpu.crypto.keys import (
 from fhe_regex_tpu.crypto import lwe as _lwe
 from fhe_regex_tpu.regex.circuit import CircuitBuilder, Node
 from fhe_regex_tpu.regex.engine import BranchBudgetExceeded, compile_match
-from fhe_regex_tpu.regex.executor import CompiledCircuit, Executor, compile_circuit
+from fhe_regex_tpu.regex.executor import (CompiledCircuit, Executor,
+                                          active_bsk_drop, compile_circuit)
 from fhe_regex_tpu.ops.pbs import prepare_server_key, resolve_backend
 
 __all__ = [
@@ -148,7 +149,8 @@ def has_match(server_key: ServerKey, ct_content: np.ndarray, pattern: str,
         min_bucket = max(min_bucket, int(mesh.devices.size))
     circuit = compile_circuit(params, builder, root, min_bucket=min_bucket,
                               multivalue=_resolve_multivalue(
-                                  multivalue, params, mesh))
+                                  multivalue, params, mesh),
+                              bsk_drop=active_bsk_drop(params, backend))
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(
@@ -375,7 +377,8 @@ def has_match_patterns(server_key: ServerKey, ct_content: np.ndarray,
         min_bucket = max(min_bucket, int(mesh.devices.size))
     circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket,
                               multivalue=_resolve_multivalue(
-                                  multivalue, params, mesh))
+                                  multivalue, params, mesh),
+                              bsk_drop=active_bsk_drop(params, backend))
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(
@@ -411,7 +414,8 @@ def has_match_positions(server_key: ServerKey, ct_content: np.ndarray,
         min_bucket = max(min_bucket, int(mesh.devices.size))
     circuit = compile_circuit(params, builder, roots, min_bucket=min_bucket,
                               multivalue=_resolve_multivalue(
-                                  multivalue, params, mesh))
+                                  multivalue, params, mesh),
+                              bsk_drop=active_bsk_drop(params, backend))
     executor = _executor_for(server_key, backend, mesh)
     result = executor.run(circuit, np.ascontiguousarray(ct_content))
     logger.info(

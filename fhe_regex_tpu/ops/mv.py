@@ -78,10 +78,20 @@ def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts):
             lo, hi = p64.blind_rotate64(params, key[0], vlut[..., 0],
                                         vlut[..., 1], idx, ms)
         elif backend == "pallas64-bg":
+            import os
             from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64_bg
+            # Honor the documented batch-grid block knob here too (ADVICE
+            # r4: it previously only applied via make_pbs_fn/make_pbs_core).
+            # The knob's divide-B contract is stated for the main launch
+            # width; mv rotation batches R differ, so a non-dividing value
+            # falls back to the auto block instead of erroring.
+            env_tb = os.environ.get("FHE_REGEX_BG64_TB")
+            tb = int(env_tb) if env_tb else None
+            if tb is not None and (cts.shape[0] % tb != 0 or tb % 8 != 0):
+                tb = None
             lo, hi = blind_rotate_fused64_bg(
                 params, key[0], vlut[..., 0], vlut[..., 1], idx, ms,
-                getattr(dev_key, "drop64", (0, 0)))
+                getattr(dev_key, "drop64", (0, 0)), tb=tb)
         else:
             from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64
             lo, hi = blind_rotate_fused64(params, key[0], vlut[..., 0],

@@ -425,9 +425,11 @@ def warn_if_unsafe(params: Params, where: str) -> None:
     rep = params.noise_budget_report()
     if rep["sigma_margin"] >= MIN_SIGMA_MARGIN:
         return
-    _unsafe_warned.add(params.name)
     if os.environ.get("FHE_REGEX_ALLOW_UNSAFE") == "1":
+        # Do NOT record the set: if the var is unset later in this process
+        # the warning must still fire (ADVICE r4).
         return
+    _unsafe_warned.add(params.name)
     warnings.warn(
         f"{where}: parameter set {params.name!r} has a worst-case LUT margin "
         f"of {rep['sigma_margin']:.2f} sigma (< {MIN_SIGMA_MARGIN}), i.e. "

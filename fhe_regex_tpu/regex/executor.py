@@ -166,16 +166,30 @@ def default_min_bucket() -> int:
 FUSE_MAX_PBS = 1500
 
 
-def active_bsk_drop(params: Params) -> "tuple | None":
-    """The key-limb drop the DEFAULT backend for these params applies
-    (pallas64-bg at 64 bits on TPU).  Used so noise gates and p_fail
-    reporting reflect the real operating point — not the undropped key
-    (advisor round 4)."""
+def active_bsk_drop(params: Params,
+                    backend: "str | None" = None) -> "tuple | None":
+    """The key-limb drop the selected backend applies to these params.
+
+    Only ``pallas64-bg`` (the 64-bit TPU default) rounds the bootstrap
+    key; every other backend keeps it whole.  With ``backend=None`` the
+    default resolution for the params is assumed.  Used so noise gates
+    and p_fail reporting reflect the real operating point — not the
+    undropped key, and not a drop a non-dropping backend never applies
+    (advisor rounds 4 and 5)."""
     if params.torus_bits != 64:
         return None
-    from fhe_regex_tpu.ops.pbs import default_drop64
+    from fhe_regex_tpu.ops.pbs import default_drop64, resolve_backend
+    if resolve_backend(backend, params) != "pallas64-bg":
+        return None
     drop = default_drop64(params)
     return drop if drop != (0, 0) else None
+
+
+def _dev_key_drop(dev_key) -> "tuple | None":
+    """The key-limb drop a PREPARED key actually carries (None if the
+    backend doesn't drop, or the drop is (0, 0))."""
+    drop = getattr(dev_key, "drop64", None)
+    return tuple(drop) if drop and tuple(drop) != (0, 0) else None
 
 
 def worst_mv_norm2(circuit) -> "int | None":
@@ -191,14 +205,21 @@ def worst_mv_norm2(circuit) -> "int | None":
     return worst or None
 
 
-def circuit_pfail(params: Params, circuit) -> dict:
+_DROP_DEFAULT = object()   # sentinel: "assume the default backend's drop"
+
+
+def circuit_pfail(params: Params, circuit, bsk_drop=_DROP_DEFAULT) -> dict:
     """The failure-probability contract at the engine's actual operating
-    point: includes the default backend's key-limb drop and the circuit's
-    worst mv factor norm.  Non-finite log2 values (zero-noise test sets)
-    are reported as None so the dict stays strict-JSON-serializable."""
+    point: includes the backend's key-limb drop and the circuit's worst
+    mv factor norm.  Pass ``bsk_drop`` (a tuple or None) to report for a
+    specific prepared key — the Executor threads its real ``dev_key``
+    drop here, so runs on jnp64/pallas64 or an explicit (0, 0) key are
+    not reported with a drop they never applied (advisor round 5).
+    Non-finite log2 values (zero-noise test sets) are reported as None
+    so the dict stays strict-JSON-serializable."""
     import math
 
-    drop = active_bsk_drop(params)
+    drop = active_bsk_drop(params) if bsk_drop is _DROP_DEFAULT else bsk_drop
     mvn = worst_mv_norm2(circuit)
     rep = params.noise_budget_report(mv_norm2=mvn, bsk_drop=drop)
     lp = rep["log2_p_fail_per_pbs"]
@@ -268,7 +289,8 @@ def compile_circuit(params: Params, builder: CircuitBuilder,
                     root: "Node | List[Node]",
                     min_bucket: int = 8,
                     max_batch: int = MAX_LEVEL_BATCH,
-                    multivalue: bool = False) -> CompiledCircuit:
+                    multivalue: bool = False,
+                    bsk_drop=_DROP_DEFAULT) -> CompiledCircuit:
     """Level-schedule a builder's op DAG.  `root` may be one Node or a list
     of them (multi-pattern circuits); `run`/`run_many` then return one
     result row per root.
@@ -333,7 +355,8 @@ def compile_circuit(params: Params, builder: CircuitBuilder,
                 out_idx[i] = op.out_slot
             plan = LevelPlan(in_slots, in_coefs, consts, lut_idx, out_idx)
             if multivalue:
-                _attach_mv_plan(params, plan, chunk, w, min_bucket, max_batch)
+                _attach_mv_plan(params, plan, chunk, w, min_bucket, max_batch,
+                                bsk_drop=bsk_drop)
             levels.append(plan)
 
     return CompiledCircuit(
@@ -350,7 +373,8 @@ def compile_circuit(params: Params, builder: CircuitBuilder,
 
 
 def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
-                    min_bucket: int, max_batch: int) -> None:
+                    min_bucket: int, max_batch: int,
+                    bsk_drop=_DROP_DEFAULT) -> None:
     """Dedup a level chunk's affine inputs into a rotation batch and record
     each op's (leader, LUT factor weights)."""
     from fhe_regex_tpu.ops.luts import mv_support_positions, mv_weights
@@ -375,9 +399,14 @@ def _attach_mv_plan(params: Params, plan: LevelPlan, chunk, w: int,
             u2 = int((wv.astype(np.int64) ** 2).sum())
             # gate at the REAL operating point: the default 64-bit backend
             # rounds the bootstrap key (active_bsk_drop), and that term is
-            # amplified by the mv norm too (advisor round 4)
+            # amplified by the mv norm too (advisor round 4).  Callers that
+            # know the backend thread its actual drop (or None) via
+            # bsk_drop so non-dropping backends aren't over-rejected
+            # (advisor round 5).
             rep = params.noise_budget_report(
-                mv_norm2=u2, bsk_drop=active_bsk_drop(params))
+                mv_norm2=u2,
+                bsk_drop=(active_bsk_drop(params)
+                          if bsk_drop is _DROP_DEFAULT else bsk_drop))
             if rep["sigma_margin"] < 5.0:
                 raise MvMarginError(
                     f"multivalue factor of LUT {op.lut!r} has ||u||^2={u2}, "
@@ -719,9 +748,10 @@ class Executor:
                 save_slab(checkpoint, np.asarray(slab), li + 1)
         self.last_run_stats = stats
         if profile:
-            # failure-probability contract for this run, at the engine's
-            # actual operating point (mv norm + active key-limb drop)
-            self.last_run_pfail = circuit_pfail(params, circuit)
+            # failure-probability contract for this run, at THIS key's
+            # actual operating point (mv norm + the prepared key's drop)
+            self.last_run_pfail = circuit_pfail(
+                params, circuit, bsk_drop=_dev_key_drop(self._dev_key))
         out = self._finalize(circuit, slab)
         self.watchdog.observe(
             ("levels", circuit.pbs_count, circuit.num_slots, mv),
@@ -885,7 +915,10 @@ class Executor:
         return plans
 
     def run_many(self, circuit: CompiledCircuit, contents: np.ndarray,
-                 wide_batch: "bool | None" = None) -> np.ndarray:
+                 wide_batch: "bool | None" = None,
+                 checkpoint: "str | None" = None,
+                 checkpoint_every: int = 0,
+                 resume: "str | None" = None) -> np.ndarray:
         """Match ONE compiled pattern against MANY encrypted contents.
 
         contents: [C, len, num_blocks, n+1] uint32 -> [C, num_blocks, n+1].
@@ -898,8 +931,22 @@ class Executor:
         packed levels (default: on for TPU, off elsewhere; env override
         FHE_REGEX_WIDE_BATCH=0|1).  Costs one extra Mosaic executable per
         process, then large levels run at the kernel's B>=1024 throughput.
+
+        checkpoint/resume (VERDICT r4 weak #7 — the serving path is where
+        a long batch is most worth resuming): with ``checkpoint`` +
+        ``checkpoint_every=k``, the packed slab is saved every k launch
+        steps (a step = one classic chunk launch, or one multivalue
+        rotations+finish plan entry).  ``resume=path`` restores a saved
+        slab and replays only the remaining steps; the call must pass the
+        SAME circuit, contents count, and wide_batch as the checkpointing
+        run (the launch plan is deterministic in those — validated against
+        the recorded step count).  `contents` is then ignored beyond its
+        shape: the restored slab already holds the encrypted rows.
         """
         import os
+
+        from fhe_regex_tpu.utils.checkpoint import (load_many_slab,
+                                                    save_many_slab)
 
         if wide_batch is None:
             env = os.environ.get("FHE_REGEX_WIDE_BATCH")
@@ -910,23 +957,44 @@ class Executor:
         n1 = params.lwe_dimension + 1
         tb = params.torus_bits
         S = circuit.num_slots
-        shape = (C * S, n1) if tb == 32 else (C * S, n1, 2)
-        # device-side slab build: upload only the content rows, not C*S slots
-        slab = jnp.zeros(shape, np.int32)
-        if contents.size:
-            flat = _np_to_limbs(contents.reshape(C, -1, n1), tb)
-            L = flat.shape[1]
-            rows = (np.arange(C, dtype=np.int32)[:, None] * S + 1
-                    + np.arange(L, dtype=np.int32)[None, :]).reshape(-1)
-            slab = slab.at[jnp.asarray(rows)].set(
-                jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
+        start_step = 0
+        if resume is not None:
+            slab_np, start_step, ck_C, ck_total = load_many_slab(resume)
+            if ck_C != C:
+                raise ValueError(
+                    f"resume checkpoint was taken at C={ck_C} contents, "
+                    f"got C={C} — the packed plan does not match")
+            slab = jnp.asarray(slab_np)
+        else:
+            shape = (C * S, n1) if tb == 32 else (C * S, n1, 2)
+            # device-side slab build: upload only the content rows, not
+            # C*S slots
+            slab = jnp.zeros(shape, np.int32)
+            if contents.size:
+                flat = _np_to_limbs(contents.reshape(C, -1, n1), tb)
+                L = flat.shape[1]
+                rows = (np.arange(C, dtype=np.int32)[:, None] * S + 1
+                        + np.arange(L, dtype=np.int32)[None, :]).reshape(-1)
+                slab = slab.at[jnp.asarray(rows)].set(
+                    jnp.asarray(flat.reshape(C * L, *flat.shape[2:])))
+
+        def _maybe_ckpt(step, total):
+            if (checkpoint is not None and checkpoint_every > 0
+                    and step % checkpoint_every == 0 and step < total):
+                save_many_slab(checkpoint, np.asarray(slab), step, C, total)
+
         if circuit.multivalue:
             k1N = (params.glwe_dimension + 1, params.polynomial_size)
             if tb != 32:
                 k1N = k1N + (2,)
             vlut = self._dev_vlut
-            for rot_chunks, acc_rows, fin in self._device_chunks_many_mv(
-                    circuit, C, wide_batch):
+            plans = self._device_chunks_many_mv(circuit, C, wide_batch)
+            if resume is not None and ck_total != len(plans):
+                raise ValueError(
+                    f"resume checkpoint recorded {ck_total} steps, this "
+                    f"plan has {len(plans)} — circuit/wide_batch mismatch")
+            for si in range(start_step, len(plans)):
+                rot_chunks, acc_rows, fin = plans[si]
                 accs = [self._mv_rotate_many_jit(self._key_args, slab, vlut,
                                                  *ch)
                         for ch in rot_chunks]
@@ -936,10 +1004,18 @@ class Executor:
                 acc = accs[0] if len(accs) == 1 else jnp.concatenate(accs)
                 slab = self._mv_finish_many_jit(self._key_args, slab, acc,
                                                 *fin)
+                _maybe_ckpt(si + 1, len(plans))
         else:
             luts = self._device_luts(circuit)
-            for dev in self._device_chunks_many(circuit, C, wide_batch):
-                slab = self._level_jit(self._key_args, slab, luts, *dev)
+            chunks = self._device_chunks_many(circuit, C, wide_batch)
+            if resume is not None and ck_total != len(chunks):
+                raise ValueError(
+                    f"resume checkpoint recorded {ck_total} steps, this "
+                    f"plan has {len(chunks)} — circuit/wide_batch mismatch")
+            for si in range(start_step, len(chunks)):
+                slab = self._level_jit(self._key_args, slab, luts,
+                                       *chunks[si])
+                _maybe_ckpt(si + 1, len(chunks))
         dt = U32 if tb == 32 else np.uint64
         roots = circuit.all_roots
         R = len(roots)

@@ -35,3 +35,25 @@ def save_slab(path, slab, level_idx: int) -> None:
 def load_slab(path):
     with np.load(Path(path)) as z:
         return z["slab"].view(np.int32), int(z["level_idx"])
+
+
+def save_many_slab(path, slab, step_idx: int, n_contents: int,
+                   total_steps: int) -> None:
+    """Checkpoint a packed run_many slab between launch steps (VERDICT r4
+    weak #7).  A step is one classic chunk launch or one multivalue
+    (rotations + finish) plan entry; the packed slab holds ALL contents, so
+    resume = replay the remaining steps of the SAME (circuit, C,
+    wide_batch) plan on the restored slab."""
+    np.savez_compressed(Path(path), slab=np.asarray(slab).view(np.uint32),
+                        step_idx=np.array(step_idx),
+                        n_contents=np.array(n_contents),
+                        total_steps=np.array(total_steps),
+                        kind=np.array("run_many"))
+
+
+def load_many_slab(path):
+    with np.load(Path(path)) as z:
+        if "kind" not in z or str(z["kind"]) != "run_many":
+            raise ValueError(f"{path}: not a run_many checkpoint")
+        return (z["slab"].view(np.int32), int(z["step_idx"]),
+                int(z["n_contents"]), int(z["total_steps"]))

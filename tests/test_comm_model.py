@@ -1,7 +1,11 @@
 """Pin the multi-chip communication model (utils/metrics.py::comm_model) —
 the falsifiable predictions recorded in docs/ROADMAP.md."""
 
+import json
+from pathlib import Path
+
 from fhe_regex_tpu.params import TPU64_MESSAGE_2_CARRY_2, TPU_MESSAGE_2_CARRY_2
+from fhe_regex_tpu.utils import metrics
 from fhe_regex_tpu.utils.metrics import comm_model
 
 
@@ -34,3 +38,35 @@ def test_tensor_parallel_predictions():
     assert dcn["tensor"]["speedup_at_D"] < 1.0
     # the psum volume is the real number to check on hardware: ~44 GB/chip
     assert 30e9 < ici["tensor"]["bytes_per_chip_per_batched_pbs"] < 60e9
+
+
+def test_tp_split_constant_has_provenance_and_no_drift():
+    """The 0.85/0.15-class TP stage split must trace to a MEASURED fused
+    -launch decomposition, and a fresh profile_fused.py run that shifts
+    the split materially must fail here until TP_PROFILE is re-derived
+    (VERDICT r4 weak #6)."""
+    prof = metrics.TP_PROFILE
+    # internal consistency of the recorded decomposition: 4 limb slopes +
+    # the fixed glue must reproduce the recorded launch total within 5%
+    recon = 4 * prof["per_limb_mxu_s"] + prof["fixed_glue_s"]
+    assert abs(recon - prof["total_s"]) / prof["total_s"] < 0.05
+    # the model constant IS the recorded profile's glue fraction
+    assert metrics.TP_GLUE_FRACTION == (
+        prof["fixed_glue_s"] / prof["total_s"])
+    assert 0.05 < metrics.TP_GLUE_FRACTION < 0.5
+    # drift guard: if a newer on-disk profile exists (written by every
+    # profile_fused.py run on TPU at the production set), its derived glue
+    # fraction must match the adopted constant within 5 points
+    art = (Path(__file__).resolve().parent.parent / "benchmarks"
+           / "profiles" / "fused_profile.json")
+    if not art.exists():
+        return
+    j = json.loads(art.read_text())
+    if j.get("backend") != "tpu" or j.get("params") != prof["measured"].split(", ")[-1]:
+        return   # CPU/interpret or off-set probes don't gate the constant
+    fresh = j["fixed_glue_s"] / j["total_s"]
+    assert abs(fresh - metrics.TP_GLUE_FRACTION) < 0.05, (
+        f"TP stage-split drift: fresh profile gives glue fraction "
+        f"{fresh:.3f} vs adopted {metrics.TP_GLUE_FRACTION:.3f} — "
+        f"re-derive TP_PROFILE in fhe_regex_tpu/utils/metrics.py from "
+        f"{art}")

@@ -277,8 +277,10 @@ def test_fused64_bg_limb_drop_decrypts():
 
 
 def test_drop64_gate_and_defaults():
-    """default_drop64 picks (2,2) at TPU64 (7.23 sigma, p<=2^-40), (0,0)
-    for zero-noise sets; _gate_drop64 refuses margin-breaking drops."""
+    """default_drop64 picks the mv-compatible (1,2) at TPU64 (7.62 sigma
+    classic / 7.51 at mv-12, p<=2^-40), (0,0) for zero-noise sets;
+    (2,2) is the classic-only env opt-in; _gate_drop64 refuses
+    margin-breaking drops."""
     from fhe_regex_tpu.ops.pbs import default_drop64, _gate_drop64
     from fhe_regex_tpu.params import (TEST_PARAMS_64,
                                       TPU64_MESSAGE_2_CARRY_2)
