@@ -51,6 +51,30 @@ def test_bench_ladder_prints_best(tmp_path):
     assert len(stages) == 2, out.stderr
 
 
+def test_bench_ladder_dual_metric_ref64(tmp_path):
+    """With BENCH_REF64 on, the ladder parent prints TWO JSON lines: the
+    primary metric first, then the reference-exact-set line
+    (pbs_per_sec_per_chip_ref64) — the VERDICT r4 #5 artifact contract.
+    On CPU the ref64 stage is pointed at TEST_PARAMS_64 (a real n=742
+    bootstrap takes minutes off-TPU; the emission path is identical)."""
+    env = dict(os.environ,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               BENCH_ITERS="1", BENCH_LADDER="jnp:8",
+               BENCH_REF64="1", BENCH_REF64_PARAMS="TEST_PARAMS_64",
+               JAX_COMPILATION_CACHE_DIR=str(tmp_path / "jaxcache"))
+    out = subprocess.run([sys.executable, str(REPO / "bench.py")],
+                         capture_output=True, text=True, timeout=300,
+                         env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-800:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 2, out.stdout
+    _check_record(lines[0])
+    ref = json.loads(lines[1])
+    assert ref["metric"] == "pbs_per_sec_per_chip_ref64"
+    assert ref["params"] == "TEST_PARAMS_64"
+    assert ref["value"] > 0
+
+
 def test_bench_ladder_sigterm_prints_best_so_far(tmp_path):
     """A driver timeout (SIGTERM) mid-ladder must still record the best
     completed stage — the round-2 failure mode (rc 124, parsed null) is

@@ -34,4 +34,5 @@ def test_two_process_distributed_pbs_and_or_tree():
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out}"
-        assert f"MULTIHOST_OK proc={i} devices=4 ok=True" in out, out
+        assert (f"MULTIHOST_OK proc={i} devices=4 ok=True "
+                f"pipeline=has_match+run_many") in out, out
