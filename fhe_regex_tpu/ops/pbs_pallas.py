@@ -647,7 +647,8 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                               bank_sc, acc_sem, wb_sem, *, k1: int,
                               level: int, base_log: int, tb: int, NB: int,
                               torus_bits: int, tiles: int, width: int,
-                              matmul_dtype, limbs=(0, 1, 2, 3)):
+                              matmul_dtype, limbs=(0, 1, 2, 3),
+                              skip: tuple = ()):
     """grid = (i, b): CMUX step x batch block; BOTH output components per
     cell (a pl.when-guarded component dim would compile both branches
     anyway — merging halves the cell count for the same body size).
@@ -663,6 +664,14 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                               one cell later, before wb_sc is reused)
     digits_sc  [tb, rows*N] int8 scratch: tau-major decomposition digits
     bank_sc    [k1*4*rows*TILE, W] int8 scratch: persistent limb banks
+
+    skip: PROFILING-ONLY stage ablations (results become garbage; timing
+    stays comparable): 'rot' drops the stage-1 roll chains (diff = x),
+    'stage1' drops rotate+decompose+scatter entirely, 'bank' drops the
+    bank build, 'dots' drops the external-product dots + accumulate,
+    'accdma' drops the HBM accumulator round-trip.  Production paths pass
+    () — used by benchmarks/profile_bg.py to decompose a launch
+    (VERDICT r4 next #1/#2).
     """
     i = pl.program_id(0)
     b = pl.program_id(1)
@@ -702,21 +711,22 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
         acc_sc[:, (k1 - 1) * N:k1 * N] = negacyclic_rot(
             acc_sc[:, (k1 - 1) * N:k1 * N], r0_ref[:, :])
 
-    @pl.when(i > 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
-        cp.start()
-        cp.wait()
+    if "accdma" not in skip:
+        @pl.when(i > 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
+            cp.start()
+            cp.wait()
 
     # ---- stage 1: rotate by a~_i + decompose into digits ----
     shift = torus_bits - base_log * level
     B_ = 1 << base_log
     half = B_ // 2
     a = avals_ref[0, :, :]                                       # [tb, 1]
-    for comp in range(k1):
+    for comp in (range(k1) if "stage1" not in skip else ()):
         x = acc_sc[:, comp * N:(comp + 1) * N]
-        diff = negacyclic_rot(x, a) - x
+        diff = (negacyclic_rot(x, a) - x) if "rot" not in skip else x
         u = pltpu.bitcast(diff, jnp.uint32)
         state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
         digs = []
@@ -745,7 +755,7 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
 
     @pl.when(b == 0)
     def _():
-        for X in range(k1):
+        for X in (range(k1) if "bank" not in skip else ()):
             for r in range(rows):
                 v = _roll_bank(quad_ref[X * rp + r:X * rp + r + 1, :])
                 for l in range(4):
@@ -786,12 +796,20 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
             total = contrib if total is None else total + contrib
         return total
 
-    for X in range(k1):
+    for X in (range(k1) if "dots" not in skip else ()):
         acc_sc[:, X * N:(X + 1) * N] = (
             acc_sc[:, X * N:(X + 1) * N] + _component_total(X))
 
     # ---- stage the write; the DMA overlaps the next cells' compute ----
-    if NB > 1:
+    if "accdma" in skip:
+        # profiling: define the output once without the per-cell round-trip
+        @pl.when((i == pl.num_programs(0) - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                acc_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
+            cp.start()
+            cp.wait()
+    elif NB > 1:
         @pl.when((i > 0) | (b > 0))
         def _():
             # previous cell's write, before wb_sc is reused (the wait only
@@ -845,7 +863,7 @@ def _check_bg_tb(B: int, tb: int) -> None:
 
 def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
-                          tb: "int | None" = None):
+                          tb: "int | None" = None, skip: tuple = ()):
     """Batch-grid single-executable blind rotation (see block comment).
 
     bsk_raw is prepare_bsk_fused_raw's layout ([(n*(k+1))*rp, W] int32 raw
@@ -875,7 +893,8 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
         functools.partial(_fused_blindrot_bg_kernel, k1=k1, level=level,
                           base_log=params.pbs_base_log, tb=tb, NB=NB,
                           torus_bits=params.torus_bits, tiles=N // TILE,
-                          width=W, matmul_dtype=matmul_dtype, limbs=limbs),
+                          width=W, matmul_dtype=matmul_dtype, limbs=limbs,
+                          skip=tuple(skip)),
         grid=(n, NB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # lut: HBM, DMA at i==0
@@ -1504,7 +1523,7 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                                 digits_sc, bank_sc, acc_sem, wb_sem, *,
                                 k1: int, level: int, base_log: int, tb: int,
                                 NB: int, tiles: int, width: int, nd: int,
-                                drop=(0, 0)):
+                                drop=(0, 0), skip: tuple = ()):
     """grid = (i, b): CMUX step x batch block, both components per cell.
 
     lutsel_*_ref [tb, N] i32   selected LUT limb rows for this batch block
@@ -1577,22 +1596,23 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
         acc_sc[:, ((k1 - 1) * 2) * N:((k1 - 1) * 2 + 1) * N] = rlo
         acc_sc[:, ((k1 - 1) * 2 + 1) * N:((k1 - 1) * 2 + 2) * N] = rhi
 
-    @pl.when(i > 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
-        cp.start()
-        cp.wait()
+    if "accdma" not in skip:
+        @pl.when(i > 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                out_ref.at[pl.ds(b * tb, tb), :], acc_sc, acc_sem)
+            cp.start()
+            cp.wait()
 
     # ---- stage 1: rotate by a~_i, diff, decompose, digit limbs ----
     shift = 64 - base_log * level                # >= 33 (asserted outside)
     B_ = 1 << base_log
     half = B_ // 2
     a = avals_ref[0, :, :]                                       # [tb, 1]
-    for comp in range(k1):
+    for comp in (range(k1) if "stage1" not in skip else ()):
         lo = acc_sc[:, (comp * 2) * N:(comp * 2 + 1) * N]
         hi = acc_sc[:, (comp * 2 + 1) * N:(comp * 2 + 2) * N]
-        rlo, rhi = rot64(lo, hi, a)
+        rlo, rhi = rot64(lo, hi, a) if "rot" not in skip else (lo, hi)
         nlo = -lo
         nhi = -hi - (lo != 0).astype(I32)
         dlo = rlo + nlo
@@ -1631,7 +1651,7 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
 
     @pl.when(b == 0)
     def _():
-        for X in range(k1):
+        for X in (range(k1) if "bank" not in skip else ()):
             dX = drop[0] if X < k1 - 1 else drop[1]
             for r in range(rows):
                 xlo = _roll(quad_ref[X * rp + 2 * r:X * rp + 2 * r + 1, :])
@@ -1654,7 +1674,7 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                     w = (w - d) >> 8
 
     # ---- external product per component: deep-K dots by weight class ----
-    for X in range(k1):
+    for X in (range(k1) if "dots" not in skip else ()):
         dX = drop[0] if X < k1 - 1 else drop[1]
         tlo = jnp.zeros((tb, N), I32)
         thi = jnp.zeros((tb, N), I32)
@@ -1711,7 +1731,15 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
         acc_sc[:, (X * 2 + 1) * N:(X * 2 + 2) * N] = hi + thi + carry
 
     # ---- stage the write; the DMA overlaps the next cells' compute ----
-    if NB > 1:
+    if "accdma" in skip:
+        # profiling: define the output once without the per-cell round-trip
+        @pl.when((i == pl.num_programs(0) - 1))
+        def _():
+            cp = pltpu.make_async_copy(
+                acc_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
+            cp.start()
+            cp.wait()
+    elif NB > 1:
         @pl.when((i > 0) | (b > 0))
         def _():
             pltpu.make_async_copy(
@@ -1734,7 +1762,7 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
 
 def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
                             lut_idx, cts_ms, drop=(0, 0),
-                            tb: "int | None" = None):
+                            tb: "int | None" = None, skip: tuple = ()):
     """Batch-grid single-executable 64-bit blind rotation."""
     from fhe_regex_tpu.ops.pbs64 import n_digit_limbs
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
@@ -1765,7 +1793,7 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
         functools.partial(_fused_blindrot64_bg_kernel, k1=k1, level=level,
                           base_log=params.pbs_base_log, tb=tb, NB=NB,
                           tiles=N // TILE, width=W, nd=nd,
-                          drop=tuple(drop)),
+                          drop=tuple(drop), skip=tuple(skip)),
         grid=(n, NB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # lut lo: HBM, DMA at i==0
