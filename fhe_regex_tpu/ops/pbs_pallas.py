@@ -648,7 +648,7 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                               level: int, base_log: int, tb: int, NB: int,
                               torus_bits: int, tiles: int, width: int,
                               matmul_dtype, limbs=(0, 1, 2, 3),
-                              skip: tuple = ()):
+                              skip: tuple = (), interleave: bool = False):
     """grid = (i, b): CMUX step x batch block; BOTH output components per
     cell (a pl.when-guarded component dim would compile both branches
     anyway — merging halves the cell count for the same body size).
@@ -724,7 +724,8 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
     B_ = 1 << base_log
     half = B_ // 2
     a = avals_ref[0, :, :]                                       # [tb, 1]
-    for comp in (range(k1) if "stage1" not in skip else ()):
+
+    def _stage1_comp(comp):
         x = acc_sc[:, comp * N:(comp + 1) * N]
         diff = (negacyclic_rot(x, a) - x) if "rot" not in skip else x
         u = pltpu.bitcast(diff, jnp.uint32)
@@ -742,6 +743,10 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                 c0 = (tau * rows + r) * TILE
                 digits_sc[:, c0:c0 + TILE] = (
                     d[:, tau * TILE:(tau + 1) * TILE])
+
+    if not interleave:
+        for comp in (range(k1) if "stage1" not in skip else ()):
+            _stage1_comp(comp)
 
     # ---- bank build (b == 0): both components' limb banks, persistent ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
@@ -766,10 +771,15 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                     v = (v - d) >> 8
 
     # ---- external product: digits x per-component banks (deep-K dots) ----
-    def _component_total(X):
+    def _component_partial(X, r0, nr):
+        """Partial external product of component X over digit rows
+        [r0, r0 + nr) — r0=0, nr=rows is the full deep-K total; the
+        interleaved path splits by source component so the MXU can start
+        on already-decomposed rows while the VPU decomposes the rest."""
         total = None
         for l in limbs:
-            x = bank_sc[(X * 4 + l) * KS:(X * 4 + l + 1) * KS, :]
+            base = (X * 4 + l) * KS
+            x = bank_sc[base + r0 * TILE: base + (r0 + nr) * TILE, :]
             acc_l = None
             for tau in range(tiles):
                 a_vals = [(mu - tau - 1) % (2 * tiles)
@@ -784,7 +794,8 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                          for lo, hi in runs]
                 T = (parts[0] if len(parts) == 1
                      else jnp.concatenate(parts, axis=1)).astype(matmul_dtype)
-                d_tau = digits_sc[:, tau * KS:(tau + 1) * KS].astype(
+                d_tau = digits_sc[:, tau * KS + r0 * TILE:
+                                  tau * KS + (r0 + nr) * TILE].astype(
                     matmul_dtype)
                 if int8_path:
                     part = jax.lax.dot(d_tau, T, preferred_element_type=I32)
@@ -796,9 +807,33 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
             total = contrib if total is None else total + contrib
         return total
 
-    for X in (range(k1) if "dots" not in skip else ()):
-        acc_sc[:, X * N:(X + 1) * N] = (
-            acc_sc[:, X * N:(X + 1) * N] + _component_total(X))
+    if "dots" in skip:
+        if interleave and "stage1" not in skip:
+            for comp in range(k1):
+                _stage1_comp(comp)
+    elif not interleave:
+        for X in range(k1):
+            acc_sc[:, X * N:(X + 1) * N] = (
+                acc_sc[:, X * N:(X + 1) * N] + _component_partial(X, 0, rows))
+    else:
+        # Software-interleave (VERDICT r4 next #1): after component 0's
+        # digits land, the MXU dots over those rows are data-independent
+        # of component 1's stage-1 — emitting them before _stage1_comp(1)
+        # lets Mosaic's scheduler run the VPU rotate/decompose of the next
+        # component under the MXU dots of the previous one.  Partial sums
+        # commute mod 2^32, so results stay bit-exact vs the serial order.
+        if "stage1" not in skip:
+            _stage1_comp(0)
+        partials = [_component_partial(X, 0, level) for X in range(k1)]
+        for comp in range(1, k1):
+            if "stage1" not in skip:
+                _stage1_comp(comp)
+            for X in range(k1):
+                partials[X] = partials[X] + _component_partial(
+                    X, comp * level, level)
+        for X in range(k1):
+            acc_sc[:, X * N:(X + 1) * N] = (
+                acc_sc[:, X * N:(X + 1) * N] + partials[X])
 
     # ---- stage the write; the DMA overlaps the next cells' compute ----
     if "accdma" in skip:
@@ -863,7 +898,8 @@ def _check_bg_tb(B: int, tb: int) -> None:
 
 def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
-                          tb: "int | None" = None, skip: tuple = ()):
+                          tb: "int | None" = None, skip: tuple = (),
+                          interleave: bool = False):
     """Batch-grid single-executable blind rotation (see block comment).
 
     bsk_raw is prepare_bsk_fused_raw's layout ([(n*(k+1))*rp, W] int32 raw
@@ -894,7 +930,7 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           base_log=params.pbs_base_log, tb=tb, NB=NB,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, matmul_dtype=matmul_dtype, limbs=limbs,
-                          skip=tuple(skip)),
+                          skip=tuple(skip), interleave=interleave),
         grid=(n, NB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # lut: HBM, DMA at i==0
@@ -1523,7 +1559,8 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                                 digits_sc, bank_sc, acc_sem, wb_sem, *,
                                 k1: int, level: int, base_log: int, tb: int,
                                 NB: int, tiles: int, width: int, nd: int,
-                                drop=(0, 0), skip: tuple = ()):
+                                drop=(0, 0), skip: tuple = (),
+                                interleave: bool = False):
     """grid = (i, b): CMUX step x batch block, both components per cell.
 
     lutsel_*_ref [tb, N] i32   selected LUT limb rows for this batch block
@@ -1609,7 +1646,8 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
     B_ = 1 << base_log
     half = B_ // 2
     a = avals_ref[0, :, :]                                       # [tb, 1]
-    for comp in (range(k1) if "stage1" not in skip else ()):
+
+    def _stage1_comp(comp):
         lo = acc_sc[:, (comp * 2) * N:(comp * 2 + 1) * N]
         hi = acc_sc[:, (comp * 2 + 1) * N:(comp * 2 + 2) * N]
         rlo, rhi = rot64(lo, hi, a) if "rot" not in skip else (lo, hi)
@@ -1638,6 +1676,10 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                     c0 = ((tau * nd + dl) * rows + r) * TILE
                     digits_sc[:, c0:c0 + TILE] = (
                         dd[:, tau * TILE:(tau + 1) * TILE])
+
+    if not interleave:
+        for comp in (range(k1) if "stage1" not in skip else ()):
+            _stage1_comp(comp)
 
     # ---- bank build (b == 0): peel 8 int8 limb banks per (X, row) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
@@ -1674,7 +1716,11 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                     w = (w - d) >> 8
 
     # ---- external product per component: deep-K dots by weight class ----
-    for X in (range(k1) if "dots" not in skip else ()):
+    def _component_partial64(X, r0, nr):
+        """Exact 64-bit (lo, hi) partial external product of component X
+        over digit rows [r0, r0 + nr) — the interleaved path splits by
+        source component; partial pairs add back with an explicit carry,
+        so results stay bit-exact vs the serial order."""
         dX = drop[0] if X < k1 - 1 else drop[1]
         tlo = jnp.zeros((tb, N), I32)
         thi = jnp.zeros((tb, N), I32)
@@ -1696,16 +1742,16 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                 d_parts = []
                 for dl in dls:
                     j = cw - dl
-                    bank = bank_sc[((X * 8 + j) * rows) * TILE:
-                                   ((X * 8 + j) * rows + rows) * TILE, :]
+                    base = ((X * 8 + j) * rows + r0) * TILE
+                    bank = bank_sc[base:base + nr * TILE, :]
                     T_parts.append(jnp.concatenate(
                         [bank[:, TILE * lo_ + TILE: TILE * hi_ + 2 * TILE]
                          for lo_, hi_ in runs], axis=1)
                         if len(runs) > 1 else
                         bank[:, TILE * runs[0][0] + TILE:
                              TILE * runs[0][1] + 2 * TILE])
-                    c0 = (tau * nd + dl) * KR
-                    d_parts.append(digits_sc[:, c0:c0 + KR])
+                    c0 = (tau * nd + dl) * KR + r0 * TILE
+                    d_parts.append(digits_sc[:, c0:c0 + nr * TILE])
                 T = (T_parts[0] if len(T_parts) == 1
                      else jnp.concatenate(T_parts, axis=0))
                 d_tau = (d_parts[0] if len(d_parts) == 1
@@ -1723,12 +1769,42 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
             carry = (u(slo) < u(tlo)).astype(I32)
             thi = thi + phi + carry
             tlo = slo
+        return tlo, thi
+
+    def _acc_add64(X, tlo, thi):
         lo = acc_sc[:, (X * 2) * N:(X * 2 + 1) * N]
         hi = acc_sc[:, (X * 2 + 1) * N:(X * 2 + 2) * N]
         slo = lo + tlo
         carry = (u(slo) < u(lo)).astype(I32)
         acc_sc[:, (X * 2) * N:(X * 2 + 1) * N] = slo
         acc_sc[:, (X * 2 + 1) * N:(X * 2 + 2) * N] = hi + thi + carry
+
+    if "dots" in skip:
+        if interleave and "stage1" not in skip:
+            for comp in range(k1):
+                _stage1_comp(comp)
+    elif not interleave:
+        for X in range(k1):
+            _acc_add64(X, *_component_partial64(X, 0, rows))
+    else:
+        # Software-interleave (VERDICT r4 next #2): the MXU dots over the
+        # rows already decomposed run while the VPU decomposes the next
+        # component's (lo, hi) pair — see the 32-bit twin for the scheme.
+        if "stage1" not in skip:
+            _stage1_comp(0)
+        partials = [list(_component_partial64(X, 0, level))
+                    for X in range(k1)]
+        for comp in range(1, k1):
+            if "stage1" not in skip:
+                _stage1_comp(comp)
+            for X in range(k1):
+                plo, phi = _component_partial64(X, comp * level, level)
+                slo = partials[X][0] + plo
+                carry = (u(slo) < u(partials[X][0])).astype(I32)
+                partials[X][1] = partials[X][1] + phi + carry
+                partials[X][0] = slo
+        for X in range(k1):
+            _acc_add64(X, partials[X][0], partials[X][1])
 
     # ---- stage the write; the DMA overlaps the next cells' compute ----
     if "accdma" in skip:
@@ -1762,7 +1838,8 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
 
 def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
                             lut_idx, cts_ms, drop=(0, 0),
-                            tb: "int | None" = None, skip: tuple = ()):
+                            tb: "int | None" = None, skip: tuple = (),
+                            interleave: bool = False):
     """Batch-grid single-executable 64-bit blind rotation."""
     from fhe_regex_tpu.ops.pbs64 import n_digit_limbs
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
@@ -1793,7 +1870,8 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
         functools.partial(_fused_blindrot64_bg_kernel, k1=k1, level=level,
                           base_log=params.pbs_base_log, tb=tb, NB=NB,
                           tiles=N // TILE, width=W, nd=nd,
-                          drop=tuple(drop), skip=tuple(skip)),
+                          drop=tuple(drop), skip=tuple(skip),
+                          interleave=interleave),
         grid=(n, NB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # lut lo: HBM, DMA at i==0

@@ -114,6 +114,59 @@ def test_bg_blindrot_bitexact_zero_noise(keys):
                 lambda x: (2 * x + 3) % 16)
 
 
+def test_bg_blindrot_interleave_bitexact(noisy_keys):
+    """The software-interleaved schedule (stage-1 of component c+1 under
+    the MXU dots of component c) must be BIT-EXACT vs the serial order —
+    partial external products commute mod 2^32."""
+    params = TEST_PARAMS_NOISY
+    ck, sk = noisy_keys
+    msgs = [0, 3, 8, 15, 6, 1, 9, 12, 2, 5, 10, 13, 4, 7, 11, 14]
+    f = lambda x: (x * 7 + 2) % 16
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng)
+                    for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    from fhe_regex_tpu.ops import pbs_pallas as pp
+    from fhe_regex_tpu.ops.pbs import mod_switch
+    dev = prepare_server_key(params, sk, "pallas-bg")
+    ms = mod_switch(params, jnp.asarray(cts.view(np.int32)))
+    ser = pp.blind_rotate_fused_bg(params, dev.bsk_raw, luts, idx, ms,
+                                   interleave=False)
+    inter = pp.blind_rotate_fused_bg(params, dev.bsk_raw, luts, idx, ms,
+                                     interleave=True)
+    assert np.array_equal(np.asarray(ser), np.asarray(inter))
+
+
+def test_bg64_blindrot_interleave_bitexact():
+    """64-bit twin: interleaved partial (lo, hi) pairs with explicit
+    carries == the serial weight-class accumulation, bit-exact."""
+    from fhe_regex_tpu.crypto.keys import gen_keys
+    from fhe_regex_tpu.ops import pbs_pallas as pp
+    from fhe_regex_tpu.ops.pbs64 import mod_switch64
+    from fhe_regex_tpu.params import TEST_PARAMS_64
+    from fhe_regex_tpu.regex.executor import _np_to_limbs
+
+    params = TEST_PARAMS_64
+    ck, sk = gen_keys(params, seed=7)
+    msgs = [0, 3, 8, 15, 6, 1, 9, 12]
+    f = lambda x: (x * 5 + 3) % 16
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng)
+                    for m in msgs])
+    luts = _np_to_limbs(np.stack([make_lut_poly(params, f)]), 64)
+    lo, hi = jnp.asarray(luts[..., 0]), jnp.asarray(luts[..., 1])
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    dev = prepare_server_key(params, sk, "pallas64-bg")
+    ctsl = _np_to_limbs(cts, 64)
+    ms = mod_switch64(params, jnp.asarray(ctsl[..., 0]),
+                      jnp.asarray(ctsl[..., 1]))
+    ser = pp.blind_rotate_fused64_bg(params, dev.bsk_raw64, lo, hi, idx, ms,
+                                     dev.drop64, interleave=False)
+    inter = pp.blind_rotate_fused64_bg(params, dev.bsk_raw64, lo, hi, idx,
+                                       ms, dev.drop64, interleave=True)
+    assert np.array_equal(np.asarray(ser[0]), np.asarray(inter[0]))
+    assert np.array_equal(np.asarray(ser[1]), np.asarray(inter[1]))
+
+
 def test_bg_blindrot_bitexact_noisy_single_block(noisy_keys):
     """NB=1 (one grid block) must also be exact — the DMA accumulator has
     explicit ordering, no prefetch-distance dependence."""
