@@ -67,30 +67,34 @@ def run_width(width: int, iters: int) -> dict:
         from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64_bg
 
         def make(interleave):
+            # key material as ARGUMENTS: a closed-over key embeds as an
+            # HLO literal and overflows the remote-compile request limit
             @jax.jit
-            def fn(c_lo, c_hi):
+            def fn(bsk, ksk, c_lo, c_hi):
                 ms = mod_switch64(params, c_lo, c_hi)
                 alo, ahi = blind_rotate_fused64_bg(
-                    params, dev.bsk_raw64, luts[..., 0], luts[..., 1], idx,
+                    params, bsk, luts[..., 0], luts[..., 1], idx,
                     ms, dev.drop64, tb=tb, interleave=interleave)
                 blo, bhi = sample_extract64(params, alo, ahi)
-                olo, ohi = key_switch64(params, dev.ksk8, blo, bhi)
+                olo, ohi = key_switch64(params, ksk, blo, bhi)
                 return jnp.stack([olo, ohi], axis=-1)
-            return lambda: fn(ctsj[..., 0], ctsj[..., 1])
+            return lambda: fn(dev.bsk_raw64, dev.ksk8,
+                              ctsj[..., 0], ctsj[..., 1])
     else:
         from fhe_regex_tpu.ops.pbs import mod_switch, sample_extract
         from fhe_regex_tpu.ops.pbs_pallas import (blind_rotate_fused_bg,
                                                   key_switch_mxu)
 
         def make(interleave):
+            # key material as ARGUMENTS (see 64-bit note)
             @jax.jit
-            def fn(c):
+            def fn(bsk, ksk, c):
                 acc = blind_rotate_fused_bg(
-                    params, dev.bsk_raw, luts, idx, mod_switch(params, c),
+                    params, bsk, luts, idx, mod_switch(params, c),
                     jnp.int8, (0, 1, 2, 3), tb=tb, interleave=interleave)
-                return key_switch_mxu(params, dev.ksk_limbs,
+                return key_switch_mxu(params, ksk,
                                       sample_extract(params, acc))
-            return lambda: fn(ctsj)
+            return lambda: fn(dev.bsk_raw, dev.ksk_limbs, ctsj)
 
     res = {"params": params.name, "B": B, "tb": tb, "iters": iters}
     for interleave in (False, True):

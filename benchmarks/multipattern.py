@@ -41,6 +41,9 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
+    if "MP_PARAMS" in os.environ:        # e.g. TPU64_MESSAGE_2_CARRY_2
+        from fhe_regex_tpu.params import get_params
+        params = get_params(os.environ["MP_PARAMS"])
     C = int(os.environ.get("SERVE_BATCH", "32" if on_tpu else "4"))
     L = int(os.environ.get("MP_LEN", "16"))
     P = len(RULESET)

@@ -739,7 +739,8 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
         for j, d in enumerate(reversed(digs)):                   # MSD first
             r = comp * level + j
             d = d.astype(digits_sc.dtype)
-            for tau in range(tiles):                             # tau-major
+            # 'scatter' ablation: keep all compute, store 1/16 of the taus
+            for tau in range(tiles if "scatter" not in skip else 1):
                 c0 = (tau * rows + r) * TILE
                 digits_sc[:, c0:c0 + TILE] = (
                     d[:, tau * TILE:(tau + 1) * TILE])
@@ -1672,7 +1673,8 @@ def _fused_blindrot64_bg_kernel(lutsel_lo_ref, lutsel_hi_ref, r0_ref,
                 dd = ((v + 128) & 255) - 128
                 v = (v - dd) >> 8
                 dd = dd.astype(jnp.int8)
-                for tau in range(tiles):                         # tau-major
+                # 'scatter' ablation: all compute, 1/16 of the stores
+                for tau in range(tiles if "scatter" not in skip else 1):
                     c0 = ((tau * nd + dl) * rows + r) * TILE
                     digits_sc[:, c0:c0 + TILE] = (
                         dd[:, tau * TILE:(tau + 1) * TILE])
