@@ -122,6 +122,53 @@ def run_width(width: int, iters: int) -> dict:
     return res
 
 
+def run_mono(iters: int, schedules=("interleave",)) -> dict:
+    """Monolithic fused kernel (the 32-bit headline) at B=1792,
+    stack_rows + bank_split, serial vs interleaved schedule."""
+    on_tpu = jax.default_backend() == "tpu"
+    params = TPU_MESSAGE_2_CARRY_2 if on_tpu else TEST_PARAMS
+    B = int(os.environ.get("IL_B", "1792" if on_tpu else "8"))
+    ck, sk = _get_keys(params)
+    dev = prepare_server_key(params, sk, "pallas-fused", stack_rows=True,
+                             bank_split=True)
+    from fhe_regex_tpu.ops.pbs_pallas import pbs_batch_fused
+
+    msgs = np.arange(B) % 16
+    f = lambda x: (x * 3 + 1) % 16
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, int(m), ck.rng)
+                    for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
+    idx = jnp.zeros(B, jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+
+    res = {"params": params.name, "B": B, "mode": "monolithic stack+split",
+           "iters": iters}
+    for label in schedules:
+        interleave = label == "interleave"
+        thunk = lambda: pbs_batch_fused(
+            params, dev.bsk_fused, dev.ksk_limbs, luts, idx, jnp.int8,
+            (0, 1, 2, 3), True, True, ctsj, interleave)
+        t0 = time.time()
+        np.asarray(thunk())
+        print(f"# [mono {label}] compile+first {time.time()-t0:.1f}s",
+              flush=True)
+        t0 = time.time()
+        for _ in range(iters):
+            out = thunk()
+        np.asarray(out)
+        dt = (time.time() - t0) / iters
+        o = np.asarray(out).view(np.uint32)
+        got = np.array([lwe.decrypt_lwe(params, ck.lwe_key, o[i])
+                        for i in range(B)])
+        bad = int((got != (msgs * 3 + 1) % 16).sum())
+        rate = B / dt if not bad else 0.0
+        print(f"# [mono {label}] {rate:.1f} pbs/s "
+              f"({dt*1e3:.0f} ms/launch, {bad}/{B} wrong)", flush=True)
+        res[label] = {"pbs_per_sec": round(rate, 1),
+                      "ms_per_launch": round(dt * 1e3, 1), "wrong": bad}
+    return res
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     iters = int(os.environ.get(
@@ -131,8 +178,12 @@ def main():
         out.append(run_width(32, iters))
     if which in ("64", "both"):
         out.append(run_width(64, iters))
+    if which == "mono":
+        scheds = os.environ.get("IL_SCHED", "interleave").split(",")
+        out.append(run_mono(iters, tuple(scheds)))
     path = (Path(__file__).resolve().parent / "profiles"
-            / "interleave_probe.json")
+            / ("interleave_probe_mono.json" if which == "mono"
+               else "interleave_probe.json"))
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(out, indent=2) + "\n")
     print(f"wrote {path}", flush=True)

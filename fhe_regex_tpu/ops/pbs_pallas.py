@@ -361,7 +361,8 @@ def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
                            base_log: int, torus_bits: int, tiles: int,
                            width: int, tb: int, matmul_dtype,
                            limbs=(0, 1, 2, 3), stack_rows: bool = False,
-                           bank_split: bool = False):
+                           bank_split: bool = False,
+                           interleave: bool = False):
     """grid = (n, k1), c innermost.  out_ref [B, k1*N] IS the accumulator.
 
     Cell (0, 0) first builds the initial accumulator IN-KERNEL: mask
@@ -426,44 +427,48 @@ def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
             out_ref[b0:b0 + tb, (k1 - 1) * N:k1 * N] = rot
 
     # ---- stage 1: rotate + decompose both components into digits_sc ----
-    @pl.when(c == 0)
-    def _():
+    def _stage1_comp(comp):
         shift = torus_bits - base_log * level
         B_ = 1 << base_log
         half = B_ // 2
-        for comp in range(k1):
-            for b0 in range(0, B, tb):
-                x = out_ref[b0:b0 + tb, comp * N:(comp + 1) * N]
-                a = avals_ref[0, b0:b0 + tb, :]                  # [tb, 1]
-                col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
-                rot = x
-                for s in range(N.bit_length()):                  # shifts 1..N
-                    kk = 1 << s
-                    if kk < N:
-                        r_ = pltpu.roll(rot, kk, axis=1)
-                        r_ = jnp.where(col < kk, -r_, r_)        # negacyclic
-                    else:                                        # N == negate
-                        r_ = -rot
-                    rot = jnp.where(((a >> s) & 1) == 1, r_, rot)
-                diff = rot - x
-                u = pltpu.bitcast(diff, jnp.uint32)
-                state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
-                digs = []
-                for _j in range(level):
-                    d = state & (B_ - 1)
-                    d = jnp.where(d >= half, d - B_, d)
-                    state = (state - d) >> base_log
-                    digs.append(d)
-                for j, d in enumerate(reversed(digs)):           # MSD first
-                    r = comp * level + j
-                    d = d.astype(digits_sc.dtype)
-                    if stack_rows:                               # tau-major
-                        for tau in range(tiles):
-                            c0 = (tau * rows + r) * TILE
-                            digits_sc[b0:b0 + tb, c0:c0 + TILE] = (
-                                d[:, tau * TILE:(tau + 1) * TILE])
-                    else:
-                        digits_sc[b0:b0 + tb, r * N:(r + 1) * N] = d
+        for b0 in range(0, B, tb):
+            x = out_ref[b0:b0 + tb, comp * N:(comp + 1) * N]
+            a = avals_ref[0, b0:b0 + tb, :]                  # [tb, 1]
+            col = jax.lax.broadcasted_iota(jnp.int32, (tb, N), 1)
+            rot = x
+            for s in range(N.bit_length()):                  # shifts 1..N
+                kk = 1 << s
+                if kk < N:
+                    r_ = pltpu.roll(rot, kk, axis=1)
+                    r_ = jnp.where(col < kk, -r_, r_)        # negacyclic
+                else:                                        # N == negate
+                    r_ = -rot
+                rot = jnp.where(((a >> s) & 1) == 1, r_, rot)
+            diff = rot - x
+            u = pltpu.bitcast(diff, jnp.uint32)
+            state = ((u + jnp.uint32(1 << (shift - 1))) >> shift).astype(I32)
+            digs = []
+            for _j in range(level):
+                d = state & (B_ - 1)
+                d = jnp.where(d >= half, d - B_, d)
+                state = (state - d) >> base_log
+                digs.append(d)
+            for j, d in enumerate(reversed(digs)):           # MSD first
+                r = comp * level + j
+                d = d.astype(digits_sc.dtype)
+                if stack_rows:                               # tau-major
+                    for tau in range(tiles):
+                        c0 = (tau * rows + r) * TILE
+                        digits_sc[b0:b0 + tb, c0:c0 + TILE] = (
+                            d[:, tau * TILE:(tau + 1) * TILE])
+                else:
+                    digits_sc[b0:b0 + tb, r * N:(r + 1) * N] = d
+
+    if not interleave:
+        @pl.when(c == 0)
+        def _():
+            for comp in range(k1):
+                _stage1_comp(comp)
 
     # ---- external product: all rows' digits x GGSW(i, ., c) ----
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 0)
@@ -489,6 +494,64 @@ def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
                 bank_sc[l * KS + r * TILE:l * KS + (r + 1) * TILE, :] = (
                     d.astype(jnp.int8))
                 v = (v - d) >> 8
+    if interleave:
+        # Software-interleave (VERDICT r4 next #1, measured +4.3% on the
+        # bg twin): at the stage-1 cell (c == 0), the MXU dots over the
+        # rows already decomposed are emitted BEFORE the next component's
+        # rotate/decompose, so Mosaic runs the VPU stage-1 under the MXU.
+        # Requires stack_rows + bank_split (banks prebuilt above).
+        # Partial sums commute mod 2^32 — bit-exact vs the serial order.
+        def _partial_dots(r0, nr):
+            ptotal = None
+            for l in limbs:
+                acc_l = None
+                for tau in range(tiles):
+                    a_vals = [(mu - tau - 1) % (2 * tiles)
+                              for mu in range(tiles)]
+                    runs = [[a_vals[0], a_vals[0]]]
+                    for a_ in a_vals[1:]:
+                        if a_ == runs[-1][1] + 1:
+                            runs[-1][1] = a_
+                        else:
+                            runs.append([a_, a_])
+                    x = bank_sc[l * KS + r0 * TILE:
+                                l * KS + (r0 + nr) * TILE, :]
+                    parts = [x[:, TILE * lo + TILE: TILE * hi + 2 * TILE]
+                             for lo, hi in runs]
+                    T = (parts[0] if len(parts) == 1
+                         else jnp.concatenate(parts, axis=1)).astype(
+                        matmul_dtype)
+                    d_tau = digits_sc[:, tau * KS + r0 * TILE:
+                                      tau * KS + (r0 + nr) * TILE].astype(
+                        matmul_dtype)
+                    if int8_path:
+                        part = jax.lax.dot(d_tau, T,
+                                           preferred_element_type=I32)
+                    else:
+                        part = jax.lax.dot(
+                            d_tau, T, preferred_element_type=jnp.float32)
+                    acc_l = part if acc_l is None else acc_l + part
+                contrib = acc_l.astype(I32) << (8 * l)
+                ptotal = contrib if ptotal is None else ptotal + contrib
+            return ptotal
+
+        @pl.when(c == 0)
+        def _():
+            _stage1_comp(0)
+        total = _partial_dots(0, level)
+        for comp in range(1, k1):
+            @pl.when(c == 0)
+            def _(comp=comp):
+                _stage1_comp(comp)
+            total = total + _partial_dots(comp * level, level)
+
+        for X in range(k1):
+            @pl.when(c == X)
+            def _(X=X):
+                out_ref[:, X * N:(X + 1) * N] = (
+                    out_ref[:, X * N:(X + 1) * N] + total)
+        return
+
     for l in limbs:
         acc_l = None
         if stack_rows and not bank_split:
@@ -542,7 +605,8 @@ def _fused_blindrot_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref, out_ref,
 
 def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                        matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
-                       stack_rows: bool = False, bank_split: bool = False):
+                       stack_rows: bool = False, bank_split: bool = False,
+                       interleave: bool = False):
     """Whole blind rotation in ONE kernel launch (see module notes above)."""
     k, N, n, level = (params.glwe_dimension, params.polynomial_size,
                       params.lwe_dimension, params.pbs_level)
@@ -553,6 +617,8 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
     tb = min(256, B)
     assert B % tb == 0, f"fused kernel needs batch % {tb} == 0, got {B}"
     assert not (bank_split and not stack_rows), "bank_split needs stack_rows"
+    assert not (interleave and not (stack_rows and bank_split)), \
+        "interleave needs stack_rows + bank_split (prebuilt banks)"
 
     lut_sel = luts[lut_idx].astype(I32)                          # [B, N]
     r0 = (((2 * N - cts_ms[:, n]) & (2 * N - 1))
@@ -566,7 +632,7 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, tb=tb, matmul_dtype=matmul_dtype,
                           limbs=limbs, stack_rows=stack_rows,
-                          bank_split=bank_split),
+                          bank_split=bank_split, interleave=interleave),
         grid=(n, k1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # lut stays in HBM (DMA'd)
@@ -597,12 +663,14 @@ def blind_rotate_fused(params: Params, bsk_fused, luts, lut_idx, cts_ms,
     return acc.reshape(B, k1, N)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 10))
 def pbs_batch_fused(params: Params, bsk_fused, ksk_limbs, luts, lut_idx,
-                    matmul_dtype, limbs, stack_rows, bank_split, cts):
+                    matmul_dtype, limbs, stack_rows, bank_split, cts,
+                    interleave: bool = False):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused(params, bsk_fused, luts, lut_idx, ms,
-                             matmul_dtype, limbs, stack_rows, bank_split)
+                             matmul_dtype, limbs, stack_rows, bank_split,
+                             interleave)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 

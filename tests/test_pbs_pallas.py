@@ -137,6 +137,31 @@ def test_bg_blindrot_interleave_bitexact(noisy_keys):
     assert np.array_equal(np.asarray(ser), np.asarray(inter))
 
 
+def test_fused_blindrot_interleave_bitexact(noisy_keys):
+    """Monolithic fused kernel: the interleaved schedule (stack+split) ==
+    the serial stack+split order, bit-exact, and == the jnp reference."""
+    params = TEST_PARAMS_NOISY
+    ck, sk = noisy_keys
+    msgs = [0, 3, 8, 15, 6, 1, 9, 12]
+    f = lambda x: (x * 7 + 2) % 16
+    cts = np.stack([lwe.encrypt_lwe(params, ck.lwe_key, m, ck.rng)
+                    for m in msgs])
+    luts = jnp.asarray(np.stack([make_lut_poly(params, f)]).view(np.int32))
+    idx = jnp.zeros(len(msgs), jnp.int32)
+    ctsj = jnp.asarray(cts.view(np.int32))
+    from fhe_regex_tpu.ops import pbs_pallas as pp
+    dev = prepare_server_key(params, sk, "pallas-fused", stack_rows=True,
+                             bank_split=True)
+    ref = make_pbs_fn(prepare_server_key(params, sk, "jnp"))(luts, idx, ctsj)
+    ser = pp.pbs_batch_fused(params, dev.bsk_fused, dev.ksk_limbs, luts,
+                             idx, jnp.int8, (0, 1, 2, 3), True, True, ctsj)
+    inter = pp.pbs_batch_fused(params, dev.bsk_fused, dev.ksk_limbs, luts,
+                               idx, jnp.int8, (0, 1, 2, 3), True, True,
+                               ctsj, interleave=True)
+    assert np.array_equal(np.asarray(ser), np.asarray(inter))
+    assert np.array_equal(np.asarray(ref), np.asarray(inter))
+
+
 def test_bg64_blindrot_interleave_bitexact():
     """64-bit twin: interleaved partial (lo, hi) pairs with explicit
     carries == the serial weight-class accumulation, bit-exact."""
