@@ -89,9 +89,11 @@ def _rotate_acc(dev_key: DeviceServerKey, key, vlut, cts):
             tb = int(env_tb) if env_tb else None
             if tb is not None and (cts.shape[0] % tb != 0 or tb % 8 != 0):
                 tb = None
+            from fhe_regex_tpu.ops.pbs import bg_interleave_default
             lo, hi = blind_rotate_fused64_bg(
                 params, key[0], vlut[..., 0], vlut[..., 1], idx, ms,
-                getattr(dev_key, "drop64", (0, 0)), tb=tb)
+                getattr(dev_key, "drop64", (0, 0)), tb=tb,
+                interleave=bg_interleave_default(64))
         else:
             from fhe_regex_tpu.ops.pbs_pallas import blind_rotate_fused64
             lo, hi = blind_rotate_fused64(params, key[0], vlut[..., 0],

@@ -1025,12 +1025,14 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
     return acc.reshape(B, k1, N)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 9))
 def pbs_batch_fused_bg(params: Params, bsk_raw, ksk_limbs, luts, lut_idx,
-                       matmul_dtype, limbs, tb, cts):
+                       matmul_dtype, limbs, tb, cts,
+                       interleave: bool = False):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused_bg(params, bsk_raw, luts, lut_idx, ms,
-                                matmul_dtype, limbs, tb=tb)
+                                matmul_dtype, limbs, tb=tb,
+                                interleave=interleave)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 
@@ -1969,14 +1971,15 @@ def blind_rotate_fused64_bg(params: Params, bsk_raw64, luts_lo, luts_hi,
     return acc[:, :, 0, :], acc[:, :, 1, :]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 10))
 def pbs_batch_fused64_bg(params: Params, bsk_raw64, ksk8, luts_lo, luts_hi,
-                         lut_idx, drop, tb, cts_lo, cts_hi):
+                         lut_idx, drop, tb, cts_lo, cts_hi,
+                         interleave: bool = False):
     from fhe_regex_tpu.ops.pbs64 import (key_switch64, mod_switch64,
                                          sample_extract64)
     ms = mod_switch64(params, cts_lo, cts_hi)
     acc_lo, acc_hi = blind_rotate_fused64_bg(params, bsk_raw64, luts_lo,
                                              luts_hi, lut_idx, ms, drop,
-                                             tb=tb)
+                                             tb=tb, interleave=interleave)
     big_lo, big_hi = sample_extract64(params, acc_lo, acc_hi)
     return key_switch64(params, ksk8, big_lo, big_hi)
