@@ -85,21 +85,31 @@ def run_width(width: int, iters: int) -> dict:
         from fhe_regex_tpu.ops.pbs_pallas import (blind_rotate_fused_bg,
                                                   key_switch_mxu)
 
-        def make(interleave):
+        def make(interleave, block_major=False):
             # key material as ARGUMENTS (see 64-bit note)
             @jax.jit
             def fn(bsk, ksk, c):
                 acc = blind_rotate_fused_bg(
                     params, bsk, luts, idx, mod_switch(params, c),
-                    jnp.int8, (0, 1, 2, 3), tb=tb, interleave=interleave)
+                    jnp.int8, (0, 1, 2, 3), tb=tb, interleave=interleave,
+                    block_major=block_major)
                 return key_switch_mxu(params, ksk,
                                       sample_extract(params, acc))
             return lambda: fn(dev.bsk_raw, dev.ksk_limbs, ctsj)
 
     res = {"params": params.name, "B": B, "tb": tb, "iters": iters}
-    for interleave in (False, True):
-        label = "interleave" if interleave else "serial"
-        thunk = make(interleave)
+    # IL_CONFIGS: comma list of serial|interleave|blockmajor|bm+il
+    cfg_env = os.environ.get("IL_CONFIGS", "serial,interleave")
+    configs = {
+        "serial": (False, False), "interleave": (True, False),
+        "blockmajor": (False, True), "bm+il": (True, True),
+    }
+    for label in cfg_env.split(","):
+        interleave, block_major = configs[label]
+        if block_major and width == 64:
+            continue                 # 32-bit-only path for now
+        thunk = (make(interleave, block_major) if width != 64
+                 else make(interleave))
         t0 = time.time()
         out = thunk()
         np.asarray(out)

@@ -716,7 +716,8 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                               level: int, base_log: int, tb: int, NB: int,
                               torus_bits: int, tiles: int, width: int,
                               matmul_dtype, limbs=(0, 1, 2, 3),
-                              skip: tuple = (), interleave: bool = False):
+                              skip: tuple = (), interleave: bool = False,
+                              block_major: bool = False):
     """grid = (i, b): CMUX step x batch block; BOTH output components per
     cell (a pl.when-guarded component dim would compile both branches
     anyway — merging halves the cell count for the same body size).
@@ -740,9 +741,21 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
     'accdma' drops the HBM accumulator round-trip.  Production paths pass
     () — used by benchmarks/profile_bg.py to decompose a launch
     (VERDICT r4 next #1/#2).
+
+    block_major=True runs the grid as (NB, n) — each batch block executes
+    ALL n CMUX steps with its accumulator RESIDENT in acc_sc, written to
+    HBM once at i == n-1: removes the per-cell HBM accumulator round-trip
+    (measured 191 ms/launch at 32-bit B=1792) at the price of rebuilding
+    the step's banks every cell instead of once per step (68.5 ms * (NB-1)
+    extra).  Wins when accdma > bank * (NB - 1) — true at 32-bit NB<=2;
+    at 64-bit the bank build (125 ms) dwarfs accdma (68 ms), keep it off.
     """
-    i = pl.program_id(0)
-    b = pl.program_id(1)
+    if block_major:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+    else:
+        i = pl.program_id(0)
+        b = pl.program_id(1)
     N = tiles * TILE
     rows = k1 * level
     rp = -(-rows // 8) * 8
@@ -779,7 +792,7 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
         acc_sc[:, (k1 - 1) * N:k1 * N] = negacyclic_rot(
             acc_sc[:, (k1 - 1) * N:k1 * N], r0_ref[:, :])
 
-    if "accdma" not in skip:
+    if "accdma" not in skip and not block_major:
         @pl.when(i > 0)
         def _():
             cp = pltpu.make_async_copy(
@@ -827,7 +840,9 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
             x = jnp.where((row_ids >> s) & 1 == 1, rolled, x)
         return x
 
-    @pl.when(b == 0)
+    # block_major: banks are per-STEP data and the step changes every
+    # cell, so they rebuild unconditionally (the accdma saving pays for it)
+    @pl.when((b == 0) | block_major)
     def _():
         for X in (range(k1) if "bank" not in skip else ()):
             for r in range(rows):
@@ -905,7 +920,16 @@ def _fused_blindrot_bg_kernel(lutsel_ref, r0_ref, avals_ref, quad_ref,
                 acc_sc[:, X * N:(X + 1) * N] + partials[X])
 
     # ---- stage the write; the DMA overlaps the next cells' compute ----
-    if "accdma" in skip:
+    if block_major:
+        # the block's accumulator is RESIDENT in acc_sc for all n steps;
+        # one synchronous write when its rotation completes
+        @pl.when(i == pl.num_programs(1) - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                acc_sc, out_ref.at[pl.ds(b * tb, tb), :], wb_sem)
+            cp.start()
+            cp.wait()
+    elif "accdma" in skip:
         # profiling: define the output once without the per-cell round-trip
         @pl.when((i == pl.num_programs(0) - 1))
         def _():
@@ -968,7 +992,8 @@ def _check_bg_tb(B: int, tb: int) -> None:
 def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           matmul_dtype=jnp.int8, limbs=(0, 1, 2, 3),
                           tb: "int | None" = None, skip: tuple = (),
-                          interleave: bool = False):
+                          interleave: bool = False,
+                          block_major: bool = False):
     """Batch-grid single-executable blind rotation (see block comment).
 
     bsk_raw is prepare_bsk_fused_raw's layout ([(n*(k+1))*rp, W] int32 raw
@@ -999,15 +1024,22 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
                           base_log=params.pbs_base_log, tb=tb, NB=NB,
                           torus_bits=params.torus_bits, tiles=N // TILE,
                           width=W, matmul_dtype=matmul_dtype, limbs=limbs,
-                          skip=tuple(skip), interleave=interleave),
-        grid=(n, NB),
+                          skip=tuple(skip), interleave=interleave,
+                          block_major=block_major),
+        grid=(NB, n) if block_major else (n, NB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),   # lut: HBM, DMA at i==0
-            pl.BlockSpec((tb, 1), lambda i, b: (b, 0),
+            pl.BlockSpec((tb, 1),
+                         (lambda b, i: (b, 0)) if block_major
+                         else (lambda i, b: (b, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 1), lambda i, b: (i, b, 0),
+            pl.BlockSpec((1, tb, 1),
+                         (lambda b, i: (i, b, 0)) if block_major
+                         else (lambda i, b: (i, b, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k1 * rp, W), lambda i, b: (i, 0),
+            pl.BlockSpec((k1 * rp, W),
+                         (lambda b, i: (i, 0)) if block_major
+                         else (lambda i, b: (i, 0)),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -1025,14 +1057,16 @@ def blind_rotate_fused_bg(params: Params, bsk_raw, luts, lut_idx, cts_ms,
     return acc.reshape(B, k1, N)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 9))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 9, 10))
 def pbs_batch_fused_bg(params: Params, bsk_raw, ksk_limbs, luts, lut_idx,
                        matmul_dtype, limbs, tb, cts,
-                       interleave: bool = False):
+                       interleave: bool = False,
+                       block_major: bool = False):
     ms = mod_switch(params, cts)
     acc = blind_rotate_fused_bg(params, bsk_raw, luts, lut_idx, ms,
                                 matmul_dtype, limbs, tb=tb,
-                                interleave=interleave)
+                                interleave=interleave,
+                                block_major=block_major)
     big = sample_extract(params, acc)
     return key_switch_mxu(params, ksk_limbs, big)
 

@@ -135,6 +135,14 @@ def test_bg_blindrot_interleave_bitexact(noisy_keys):
     inter = pp.blind_rotate_fused_bg(params, dev.bsk_raw, luts, idx, ms,
                                      interleave=True)
     assert np.array_equal(np.asarray(ser), np.asarray(inter))
+    # block-major: batch blocks outer, acc resident for all steps — same
+    # math in a different grid order, bit-exact (with + without interleave)
+    bm = pp.blind_rotate_fused_bg(params, dev.bsk_raw, luts, idx, ms,
+                                  block_major=True)
+    assert np.array_equal(np.asarray(ser), np.asarray(bm))
+    bmi = pp.blind_rotate_fused_bg(params, dev.bsk_raw, luts, idx, ms,
+                                   interleave=True, block_major=True)
+    assert np.array_equal(np.asarray(ser), np.asarray(bmi))
 
 
 def test_fused_blindrot_interleave_bitexact(noisy_keys):
