@@ -435,6 +435,22 @@ def bg_interleave_default(torus_bits: int = 32) -> bool:
     return torus_bits == 32
 
 
+def bg_block_major_default(torus_bits: int = 32) -> bool:
+    """Block-major bg grid (batch blocks OUTER, accumulator VMEM-resident
+    for all n steps, one HBM write per block): with the interleaved
+    schedule it measured **933.3 pbs/s vs 925.0 row-major** at 32 bits
+    (serial-vs-serial it is a wash: 890.1 vs 886.8 — the staged write
+    already overlapped; the win composes with interleave).  OFF at 64
+    bits: the per-cell bank rebuild (125 ms/launch x (NB-1)) dwarfs the
+    64-bit kernel's 68 ms accdma.  FHE_REGEX_BLOCK_MAJOR=0|1 forces."""
+    import os
+
+    env = os.environ.get("FHE_REGEX_BLOCK_MAJOR")
+    if env is not None:
+        return env == "1"
+    return torus_bits == 32
+
+
 def make_pbs_fn(dev_key: DeviceServerKey):
     """Callable (luts, lut_idx, cts) -> cts_out for the prepared key."""
     params = dev_key.params
@@ -467,12 +483,13 @@ def make_pbs_fn(dev_key: DeviceServerKey):
         env_tb = os.environ.get("FHE_REGEX_BG_TB")
         tb = int(env_tb) if env_tb else None
         il = bg_interleave_default(32)
+        bm = bg_block_major_default(32)
 
         def fn(luts, lut_idx, cts):
             return pbs_batch_fused_bg(params, dev_key.bsk_raw,
                                       dev_key.ksk_limbs, luts, lut_idx,
                                       dev_key.matmul_dtype, limbs, tb, cts,
-                                      il)
+                                      il, bm)
         return fn
     if dev_key.backend == "fft":
         from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft
@@ -577,11 +594,12 @@ def make_pbs_core(dev_key: DeviceServerKey):
         env_tb = os.environ.get("FHE_REGEX_BG_TB")
         tb = int(env_tb) if env_tb else None
         il = bg_interleave_default(32)
+        bm = bg_block_major_default(32)
 
         def core(key, luts, lut_idx, cts):
             return pbs_batch_fused_bg(params, key[0], key[1], luts, lut_idx,
                                       dev_key.matmul_dtype, limbs, tb, cts,
-                                      il)
+                                      il, bm)
         return core
     if backend == "fft":
         from fhe_regex_tpu.ops.pbs_fft import pbs_batch_fft
