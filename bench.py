@@ -226,11 +226,13 @@ def _default_ladder(params, on_tpu):
         os.environ.setdefault("FHE_REGEX_DROP64", "2,2")
         return [("pallas64-bg", 1024), ("pallas64-bg", 2048),
                 ("pallas64-bg", 2048), ("pallas64-bg", 2048)]
-    # The final shape is sampled 3x: per-run relay jitter swings a
-    # measurement by ~2% (observed 924.7-944.7 at B=1792 within one hour)
-    # and the parent records the best completed stage, so extra samples
-    # cost ~10 s each warm and raise the recorded max to the true rate.
-    return [("pallas-fused", 256), ("pallas-fused", 1024),
+    # Round 5: lead with the batch-grid kernel (block-major + interleave
+    # default, 933-945 pbs/s measured) — its compile does not scale with B,
+    # so a stage completes early whatever the compiler weather — then the
+    # monolithic kernel (931.8-954.4 same-day samples; the two are within
+    # ~1% jitter of each other).  Repeat stages absorb the ~2% relay
+    # jitter; the parent takes the best per-shape MEDIAN.
+    return [("pallas-bg", 1792), ("pallas-bg", 3584), ("pallas-bg", 3584),
             ("pallas-fused", 1792), ("pallas-fused", 1792),
             ("pallas-fused", 1792)]
 
